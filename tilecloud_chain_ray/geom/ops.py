@@ -198,6 +198,91 @@ def box_intersects(geometry: Geometry, b: Box) -> bool:
     raise TypeError(f"unsupported geometry {type(geometry)}")
 
 
+def _segment_intersects_boxes(x0, y0, x1, y1, boxes: np.ndarray) -> np.ndarray:
+    """Vectorized Liang-Barsky: one segment vs (n, 4) boxes -> bool[n]."""
+    minx, miny, maxx, maxy = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    n = len(boxes)
+    dx = x1 - x0
+    dy = y1 - y0
+    t0 = np.zeros(n)
+    t1 = np.ones(n)
+    ok = np.ones(n, dtype=bool)
+    for p, q in (
+        (-dx, x0 - minx),
+        (dx, maxx - x0),
+        (-dy, y0 - miny),
+        (dy, maxy - y0),
+    ):
+        if p == 0.0:
+            ok &= q >= 0.0
+        elif p < 0.0:
+            np.maximum(t0, q / p, out=t0)
+        else:
+            np.minimum(t1, q / p, out=t1)
+    return ok & (t0 <= t1)
+
+
+def box_intersects_many(geometry: Geometry, boxes: np.ndarray) -> np.ndarray:
+    """Vectorized ``box_intersects`` over (n, 4) boxes -> bool[n].
+
+    The hot path of the geometry-filter stage: the per-edge loop is over
+    geometry edges (small), the box dimension is fully vectorized.
+    """
+    boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+    result = np.zeros(len(boxes), dtype=bool)
+    for leaf in iter_leaves(geometry):
+        if leaf.is_empty:
+            continue
+        gb = leaf.bounds
+        if gb[0] != gb[0]:
+            continue
+        overlap = (
+            (boxes[:, 0] <= gb[2])
+            & (boxes[:, 2] >= gb[0])
+            & (boxes[:, 1] <= gb[3])
+            & (boxes[:, 3] >= gb[1])
+            & ~result
+        )
+        if not overlap.any():
+            continue
+        idx = np.nonzero(overlap)[0]
+        sub = boxes[idx]
+        if isinstance(leaf, Point):
+            result[idx] = True  # bbox overlap is exact for a point
+            continue
+        hit = np.zeros(len(idx), dtype=bool)
+        if isinstance(leaf, LineString):
+            c = leaf.coords
+            for i in range(len(c) - 1):
+                todo = ~hit
+                if not todo.any():
+                    break
+                hit[todo] |= _segment_intersects_boxes(
+                    c[i, 0], c[i, 1], c[i + 1, 0], c[i + 1, 1], sub[todo]
+                )
+        elif isinstance(leaf, Polygon):
+            for ring in leaf.rings:
+                for i in range(len(ring) - 1):
+                    todo = ~hit
+                    if not todo.any():
+                        break
+                    hit[todo] |= _segment_intersects_boxes(
+                        ring[i, 0], ring[i, 1], ring[i + 1, 0], ring[i + 1, 1], sub[todo]
+                    )
+            todo = ~hit
+            if todo.any():
+                # no edge crosses the box: it is fully inside the
+                # polygon (or a hole) or fully outside -> any corner
+                # decides.  Exact-boundary corners were already caught
+                # by the edge test (an edge through a corner crosses
+                # the closed box).
+                hit[todo] = points_in_polygon(sub[todo, 0], sub[todo, 1], leaf)
+        else:
+            raise TypeError(f"unsupported leaf geometry {type(leaf)}")
+        result[idx] |= hit
+    return result
+
+
 # ---------------------------------------------------------------------------
 # clip_to_box
 # ---------------------------------------------------------------------------
