@@ -1,0 +1,145 @@
+"""The flagship batch pipeline: ``generate-tiles`` re-expressed on Ray Data.
+
+Stage order mirrors the reference chain
+(``/root/reference/tilecloud_chain/generate.py`` — see SURVEY.md §3.1):
+
+  enumerate (dense/sparse) -> dimension cross-product -> geometry filter
+  -> render metatiles -> metatile hash-drop -> split n² -> tile
+  hash-drop -> finalize/store (WMTS layout and/or Parquet tile table)
+
+Everything is a lazy ``Dataset`` transform; the streaming executor
+pipelines render/split/write with backpressure.  Drops stay in-band as
+``status`` rows so run counters come from one small groupby instead of
+mutable driver-side counters (``__init__.py:2399-2439`` analog).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from tilecloud_chain_ray.config import Layer
+from tilecloud_chain_ray.sinks.wmts import WmtsWriter, summarize
+from tilecloud_chain_ray.sources.enumerate import dense_coord_dataset, sparse_coord_dataset
+from tilecloud_chain_ray.stages.geom_filter import add_geom_filter
+from tilecloud_chain_ray.stages.hashdrop import (
+    empty_signatures,
+    finalize_tiles,
+    make_hash_dropper,
+)
+from tilecloud_chain_ray.stages.render import GeometryRenderer
+from tilecloud_chain_ray.stages.split import MetatileSplitter
+
+
+def add_dimensions(ds: ray.data.Dataset, layer: Layer) -> ray.data.Dataset:
+    """Dimension cross-product (M1, ``__init__.py:1321-1338``): one row
+    per (coord, dimension-combination), as ``dimension_<NAME>`` columns."""
+    combos = layer.dimension_combinations()
+    if combos == [{}]:
+        return ds
+    names = [d.name for d in layer.dimensions]
+
+    def expand(batch: pa.Table) -> pa.Table:
+        k = len(combos)
+        idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), k)
+        out = batch.take(pa.array(idx))
+        for name in names:
+            values = [combo[name] for combo in combos] * batch.num_rows
+            out = out.append_column(f"dimension_{name}", pa.array(values, pa.string()))
+        return out
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+@dataclass
+class GenerateResult:
+    tiles: ray.data.Dataset
+    summary: dict[str, int]
+
+
+def generate_tiles(
+    layer: Layer,
+    *,
+    role: str = "local",
+    cli_bbox: tuple[float, float, float, float] | None = None,
+    zooms: Sequence[int] | None = None,
+    out_wmts: str | None = None,
+    out_parquet: str | None = None,
+    renderer_cls=GeometryRenderer,
+    renderer_kwargs: dict | None = None,
+    concurrency: int | tuple[int, int] = 4,
+    render_batch_size: int = 8,
+    auto_empty: bool = True,
+    with_summary: bool = True,
+) -> GenerateResult:
+    """Run the full pyramid generation for one layer.
+
+    ``role='local'`` = dense enumeration + geometry filter (reference
+    local role); ``role='master'`` = sparse enumeration (the reference
+    master seeds the queue sparsely, ``generate.py:229-234`` — here the
+    Dataset *is* the queue, so the sparse path feeds the same
+    downstream stages directly).
+    """
+    geoms = layer.geoms_per_zoom(cli_bbox=cli_bbox)
+    if role == "master":
+        coords = sparse_coord_dataset(layer, cli_bbox=cli_bbox, zooms=zooms, concurrency=concurrency)
+    else:
+        coords = dense_coord_dataset(layer, cli_bbox=cli_bbox, zooms=zooms)
+        coords = add_geom_filter(coords, layer, geoms=geoms, concurrency=concurrency)
+    coords = add_dimensions(coords, layer)
+
+    empty_meta = layer.empty_metatile
+    empty_tile = layer.empty_tile
+    if auto_empty and (empty_meta is None or empty_tile is None):
+        sig_meta, sig_tile = empty_signatures(layer)
+        empty_meta = empty_meta or sig_meta
+        empty_tile = empty_tile or sig_tile
+
+    # the renderer draws the layer's own source geometries (the WMS/Mapnik
+    # data analog), independent of the seeding bbox/geometry filter
+    geoms_ref = ray.put(list(layer.geometries))
+    rendered = coords.map_batches(
+        renderer_cls,
+        fn_constructor_kwargs={"layer": layer, "geoms_ref": geoms_ref, **(renderer_kwargs or {})},
+        batch_format="pyarrow",
+        batch_size=render_batch_size,
+        concurrency=concurrency,
+    )
+    if layer.meta:
+        rendered = rendered.map_batches(
+            make_hash_dropper(empty_meta, "meta_dropped"),
+            batch_format="pyarrow",
+            batch_size=render_batch_size,
+        )
+    tiles = rendered.map_batches(
+        MetatileSplitter,
+        fn_constructor_kwargs={"layer": layer},
+        batch_format="pyarrow",
+        batch_size=render_batch_size,
+        concurrency=concurrency,
+    )
+    tiles = tiles.map_batches(
+        make_hash_dropper(empty_tile, "dropped"), batch_format="pyarrow"
+    )
+    tiles = tiles.map_batches(finalize_tiles, batch_format="pyarrow")
+
+    if out_wmts is not None:
+        tiles = tiles.map_batches(
+            WmtsWriter,
+            fn_constructor_kwargs={"layer": layer, "root": out_wmts},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    if out_parquet is not None:
+        # consume: write the tile table (drops nothing; statuses kept for lineage)
+        tiles.write_parquet(out_parquet, partition_cols=["z"])
+        tiles = ray.data.read_parquet(out_parquet)
+
+    summary = (
+        summarize(tiles, layer.meta_size, layer.meta) if with_summary else {}
+    )
+    return GenerateResult(tiles=tiles, summary=summary)
