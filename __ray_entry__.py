@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline at sf0.001 (geocode -> cells -> density
+tile pyramid).  ``queries()`` — one entry per implemented operator from
+SURVEY.md §2.  ``oracle_sql()`` — matching DuckDB SQL for the
+SQL-expressible subset (micro-coordinate geocoding is exact integer
+arithmetic on both sides; see tilecloud_chain_ray/queries.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported — no
+ray.init()/ray.shutdown() here or in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +15,234 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from tilecloud_chain_ray import queries as q
+
+# --- shared SQL fragments (must mirror tilecloud_chain_ray/queries.py) ---
+
+UX = "(doc_id * 2654435761) % 4294967296"
+UY = "(doc_id * 2246822519 + 1013904223) % 4294967296"
+# swissgrid_5 matrix dims per zoom (ceil(480000/span), ceil(320000/span))
+ZOOM_DIMS = {0: (19, 13), 1: (38, 25), 2: (94, 63), 3: (188, 125), 4: (375, 250)}
+
+# language marker scores: non-overlapping substring counts over ' '||text||' '
+_MARKERS = {
+    "en": (" the ", " and ", " of "),
+    "de": (" der ", " und ", " die "),
+    "fr": (" le ", " et ", " les "),
+    "it": (" il ", " e ", " di "),
+}
+
+
+def _score_sql(lang: str) -> str:
+    parts = [
+        f"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '{m}', ''))) // {len(m)}"
+        for m in _MARKERS[lang]
+    ]
+    return " + ".join(parts)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: documents sf0.001 -> geocode -> density pyramid z0-4."""
+    return q.q_density_tiles("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tile_assign_z3": q.q_tile_assign_z3,
+        "tile_counts_per_zoom": q.q_tile_counts_per_zoom,
+        "cell_counts_r8": q.q_cell_counts_r8,
+        "pip_layer_counts": q.q_pip_layer_counts,
+        "pip_join_rows": q.q_pip_join_rows,
+        "pip_inner_pairs": q.q_pip_inner_pairs,
+        "knn_cosine": q.q_knn_cosine,
+        "dedup_exact": q.q_dedup_exact,
+        "lang_stats": q.q_lang_stats,
+        "lang_pred_counts": q.q_lang_pred_counts,
+        "token_stats": q.q_token_stats,
+        "quality_hist": q.q_quality_hist,
+        "events_tumbling": q.q_events_tumbling,
+        "lineitem_pricing": q.q_lineitem_pricing,
+        "orders_topk": q.q_orders_topk,
+        "region_customers": q.q_region_customers,
+        "anti_join_tiles": q.q_anti_join_tiles,
+        "dimension_cross": q.q_dimension_cross,
+        "tile_union_area_z2": q.q_tile_union_area_z2,
+        "sessionize": q.q_sessionize,
+        # rows-only (non-SQL-expressible) checks
+        "dedup_minhash": q.q_dedup_minhash,
+        "dedup_simhash": q.q_dedup_simhash,
+        "embed_near_dup": q.q_embed_near_dup,
+        "knn_cell_spatial": q.q_knn_cell_spatial,
+        "density_tiles": q.q_density_tiles,
+        "generate_point_hash": q.q_generate_point_hash,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    zoom_dims_values = ", ".join(f"({z}, {w}, {h})" for z, (w, h) in ZOOM_DIMS.items())
+    w3, h3 = ZOOM_DIMS[3]
+    w2, h2 = ZOOM_DIMS[2]
+    span2 = 256 * 20  # z2 span in meters (res 20)
+    case_layer = (
+        f"CASE WHEN {UY} <= 2147483648 THEN 'north' "
+        f"WHEN {UX} < 2147483648 THEN 'west' ELSE 'east' END"
+    )
+    s_en, s_de, s_fr, s_it = (_score_sql(l) for l in ("en", "de", "fr", "it"))
+    return {
+        "tile_assign_z3": f"""
+            SELECT doc_id,
+                   ({UX}) * {w3} // 4294967296 AS tx,
+                   ({UY}) * {h3} // 4294967296 AS ty
+            FROM documents
+        """,
+        "tile_counts_per_zoom": f"""
+            WITH dims(z, w, h) AS (VALUES {zoom_dims_values}),
+            assigned AS (
+                SELECT d.z AS z,
+                       ({UX}) * d.w // 4294967296 AS tx,
+                       ({UY}) * d.h // 4294967296 AS ty
+                FROM documents CROSS JOIN dims d
+            )
+            SELECT z, count(DISTINCT (tx, ty)) AS n_tiles, count(*) AS n_docs
+            FROM assigned GROUP BY z
+        """,
+        "cell_counts_r8": f"""
+            SELECT ({UX}) // 16777216 AS cell_x,
+                   ({UY}) // 16777216 AS cell_y,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2
+        """,
+        "pip_layer_counts": f"""
+            SELECT {case_layer} AS layer, count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "pip_join_rows": f"""
+            SELECT doc_id, {case_layer} AS layer FROM documents
+        """,
+        "pip_inner_pairs": f"""
+            SELECT doc_id, 'north' AS layer FROM documents WHERE {UY} <= 2147483648
+            UNION ALL
+            SELECT doc_id, 'west' FROM documents WHERE {UX} < 2147483648
+            UNION ALL
+            SELECT doc_id, 'east' FROM documents WHERE {UX} >= 2147483648
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+            s AS (
+                SELECT q.qid AS query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS score
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, rank FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+                FROM s
+            ) WHERE rank <= 5
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_md5,
+                   min(doc_id) AS keep_key,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "lang_stats": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "lang_pred_counts": f"""
+            WITH scores AS (
+                SELECT {s_en} AS s_en, {s_de} AS s_de, {s_fr} AS s_fr, {s_it} AS s_it
+                FROM documents
+            )
+            SELECT CASE
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_it THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_it THEN 'de'
+                WHEN s_fr >= s_it THEN 'fr'
+                ELSE 'it' END AS lang_pred,
+                count(*) AS n
+            FROM scores GROUP BY 1
+        """,
+        "token_stats": r"""
+            SELECT lang,
+                   sum(len(regexp_split_to_array(trim(text), '\s+'))) AS sum_tokens
+            FROM documents GROUP BY lang
+        """,
+        "quality_hist": r"""
+            WITH m AS (
+                SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+                FROM documents
+            )
+            SELECT CAST(floor(least(n_tokens, 100) / 100.0
+                          * (1.0 - n_upper / greatest(n_chars, 1.0)) * 10.0) AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM m GROUP BY 1
+        """,
+        "events_tumbling": """
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS window,
+                   count(*) AS n,
+                   min(value) AS vmin,
+                   max(value) AS vmax
+            FROM events GROUP BY 1, 2
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "orders_topk": """
+            SELECT o_orderpriority, o_orderkey, rnk FROM (
+                SELECT o_orderpriority, o_orderkey,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+                FROM orders
+            ) WHERE rnk <= 5
+        """,
+        "region_customers": """
+            SELECT r.r_name, count(*) AS n_customers
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "anti_join_tiles": f"""
+            WITH cached AS (
+                SELECT DISTINCT ({UX}) * {w3} // 4294967296 * 1000
+                              + ({UY}) * {h3} // 4294967296 AS tkey
+                FROM documents WHERE doc_id < 20
+            )
+            SELECT doc_id FROM documents
+            WHERE ({UX}) * {w3} // 4294967296 * 1000
+                + ({UY}) * {h3} // 4294967296 NOT IN (SELECT tkey FROM cached)
+        """,
+        "dimension_cross": f"""
+            WITH dates(date) AS (VALUES ('2005'), ('2010'), ('2012'))
+            SELECT date, count(*) AS n
+            FROM documents CROSS JOIN dates
+            GROUP BY date
+        """,
+        "tile_union_area_z2": f"""
+            WITH t AS (
+                SELECT DISTINCT ({UX}) * {w2} // 4294967296 AS tx,
+                                ({UY}) * {h2} // 4294967296 AS ty
+                FROM documents
+            )
+            SELECT count(*) AS n_tiles,
+                   count(*) * {span2}.0 * {span2}.0 AS total_area
+            FROM t
+        """,
+        "sessionize": """
+            WITH gaps AS (
+                SELECT user_id,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > 600000000 THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+            SELECT user_id, sum(new_session) + 1 AS n_sessions
+            FROM gaps GROUP BY user_id
+        """,
+    }

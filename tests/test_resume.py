@@ -1,0 +1,83 @@
+"""Lineage + resume: kill a partition, resume, nothing recomputed."""
+
+import os
+
+import pytest
+
+from tilecloud_chain_ray.config import Layer
+from tilecloud_chain_ray.geom import MultiPoint, Point
+from tilecloud_chain_ray.grid import SWISSGRID_5
+from tilecloud_chain_ray.pipelines.resumable import (
+    generate_resumable,
+    plan_partitions,
+    read_tiles,
+)
+from tilecloud_chain_ray.sinks import lineage as lin
+
+POINTS = MultiPoint((Point(600000, 200000), Point(530000, 150000)))
+
+
+def layer():
+    return Layer(
+        name="point_hash",
+        grid=SWISSGRID_5,
+        geometries=(POINTS,),
+        meta=True,
+        meta_size=8,
+        meta_buffer=128,
+        min_resolution_seed=10,
+    )
+
+
+def test_plan_is_deterministic():
+    p1 = plan_partitions(layer(), max_coords_per_partition=4)
+    p2 = plan_partitions(layer(), max_coords_per_partition=4)
+    assert len(p1) == len(p2) > 1
+    for a, b in zip(p1, p2):
+        assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fail_then_resume(tmp_path):
+    out = str(tmp_path / "pyramid")
+    lay = layer()
+
+    # run with an injected failure in partition 0
+    s1 = generate_resumable(lay, out, max_coords_per_partition=4, fail_partitions={0})
+    assert s1["partitions_error"] == 1
+    n_parts = s1["partitions_total"]
+    assert s1["partitions_done"] == n_parts - 1
+
+    done_before = lin.done_partitions(out)
+    finish_times = {
+        pid: rec.finished_at for pid, rec in lin.load_records(out).items() if rec.status == "done"
+    }
+
+    # resume: only the failed partition runs
+    s2 = generate_resumable(lay, out, max_coords_per_partition=4)
+    assert s2["partitions_skipped"] == n_parts - 1
+    assert s2["partitions_done"] == n_parts
+    assert s2["partitions_error"] == 0
+    after = lin.load_records(out)
+    for pid in done_before:
+        assert after[pid].finished_at == finish_times[pid], "completed partition re-ran"
+
+    # final result equals the golden full-run counters
+    assert s2["tiles_generated"] == 384
+    assert s2["tiles_dropped"] == 376
+    assert s2["tiles_stored"] == 8
+    assert s2["metatiles_generated"] == 10
+    assert s2["metatiles_dropped"] == 4
+
+    tiles = read_tiles(out)
+    stored = [r for r in tiles.take_all() if r["status"] == "stored"]
+    assert {(r["z"], r["y"], r["x"]) for r in stored} == {
+        (0, 5, 7),
+        (0, 7, 4),
+        (1, 11, 14),
+        (1, 15, 8),
+        (2, 29, 35),
+        (2, 39, 21),
+        (3, 58, 70),
+        (3, 78, 42),
+    }

@@ -71,7 +71,7 @@ def generate_tiles(
     out_parquet: str | None = None,
     renderer_cls=GeometryRenderer,
     renderer_kwargs: dict | None = None,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     render_batch_size: int = 8,
     auto_empty: bool = True,
     with_summary: bool = True,

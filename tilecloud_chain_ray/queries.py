@@ -1,0 +1,499 @@
+"""Driver-contract query implementations (SURVEY.md §2 coverage).
+
+Each function takes ``sf_dir`` and returns a Dataset / pyarrow Table.
+Constants and arithmetic are chosen so the matching DuckDB oracle SQL
+(``__ray_entry__.oracle_sql``) reproduces results exactly:
+
+* geocoding uses integer micro coords (``functions.hashing``),
+* tile/cell assignment is integer multiply-shift (no float floors),
+* aggregates avoid order-dependent float sums (counts, integer sums,
+  min/max only); float outputs appear only where a single expression
+  is evaluated identically on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from tilecloud_chain_ray.functions.hashing import (
+    MICRO,
+    micro_from_ids,
+    micro_tile,
+    micro_to_map,
+)
+from tilecloud_chain_ray.geom import box
+from tilecloud_chain_ray.grid import SWISSGRID_5
+from tilecloud_chain_ray.stages.geocode import make_geocoder
+from tilecloud_chain_ray.stages.pip_join import PIPJoin
+from tilecloud_chain_ray.stages import dedup as dedup_mod
+from tilecloud_chain_ray.stages import knn as knn_mod
+from tilecloud_chain_ray.stages.text import (
+    lang_id_batch,
+    quality_score_batch,
+    token_count_batch,
+)
+
+BBOX = SWISSGRID_5.bbox  # (420000, 30000, 900000, 350000)
+MID_X = 660000.0  # = bbox x at ux = 2^31 (exact)
+NORTH_Y = 190000.0  # = bbox y at uy = 2^31 (exact)
+
+# zoom -> swissgrid_5 matrix dims (w, h); ceil(480000/span), ceil(320000/span)
+ZOOM_DIMS = {z: SWISSGRID_5.matrix_dims(z) for z in range(5)}
+
+# PIP layers in priority order (first match wins in 'left' mode); the
+# same order drives the oracle's CASE chain.
+PIP_LAYERS = [
+    ("north", box(BBOX[0], NORTH_Y, BBOX[2], BBOX[3])),
+    ("west", box(BBOX[0], BBOX[1], MID_X, BBOX[3])),
+    ("east", box(MID_X, BBOX[1], BBOX[2], BBOX[3])),
+]
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _docs_micro(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ux, uy = micro_from_ids(ids)
+    out = batch.append_column("ux", pa.array(ux.astype(np.int64), pa.int64()))
+    return out.append_column("uy", pa.array(uy.astype(np.int64), pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# geocode / tiles / cells
+# ---------------------------------------------------------------------------
+
+
+def q_tile_assign_z3(sf_dir: str) -> ray.data.Dataset:
+    """Per-document tile assignment at zoom 3 (S1/M12 composition)."""
+    w, h = ZOOM_DIMS[3]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        batch = _docs_micro(batch)
+        ux = batch["ux"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        uy = batch["uy"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tx, ty = micro_tile(ux, uy, w, h)
+        out = batch.select(["doc_id"])
+        out = out.append_column("tx", pa.array(tx, pa.int64()))
+        return out.append_column("ty", pa.array(ty, pa.int64()))
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(assign, batch_format="pyarrow")
+
+
+def q_tile_counts_per_zoom(sf_dir: str) -> pa.Table:
+    """Distinct-tile and doc counts per zoom 0..4 (G2 analog)."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign_all(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ux, uy = micro_from_ids(ids)
+        zs, txs, tys = [], [], []
+        for z, (w, h) in ZOOM_DIMS.items():
+            tx, ty = micro_tile(ux, uy, w, h)
+            zs.append(np.full(len(ids), z, dtype=np.int64))
+            txs.append(tx)
+            tys.append(ty)
+        return pa.Table.from_pydict(
+            {
+                "z": pa.array(np.concatenate(zs), pa.int64()),
+                "tx": pa.array(np.concatenate(txs), pa.int64()),
+                "ty": pa.array(np.concatenate(tys), pa.int64()),
+            }
+        )
+
+    assigned = docs.map_batches(assign_all, batch_format="pyarrow")
+
+    def per_zoom_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["z", "tx", "ty"]).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = assigned.map_batches(per_zoom_partial, batch_format="pyarrow")
+    tile_counts = partials.groupby(["z", "tx", "ty"]).aggregate(Sum("n", alias_name="n"))
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "z": [group["z"].iloc[0]],
+                "n_tiles": [len(group)],
+                "n_docs": [group["n"].sum()],
+            }
+        )
+
+    return tile_counts.groupby("z").map_groups(final, batch_format="pandas")
+
+
+def q_cell_counts_r8(sf_dir: str) -> ray.data.Dataset:
+    """Per-cell doc counts at resolution 8 (the pre-aggregated cell
+    rollup; G1/cell_agg)."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ux, uy = micro_from_ids(ids)
+        cx = (ux >> np.uint64(24)).astype(np.int64)
+        cy = (uy >> np.uint64(24)).astype(np.int64)
+        df = pd.DataFrame({"cell_x": cx, "cell_y": cy})
+        g = df.groupby(["cell_x", "cell_y"]).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = docs.map_batches(cells, batch_format="pyarrow")
+    return partials.groupby(["cell_x", "cell_y"]).aggregate(Sum("n", alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# PIP joins
+# ---------------------------------------------------------------------------
+
+
+def _geocoded_docs(sf_dir: str) -> ray.data.Dataset:
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        make_geocoder(BBOX, "doc_id", cell_res=10), batch_format="pyarrow"
+    )
+
+
+def q_pip_layer_counts(sf_dir: str) -> ray.data.Dataset:
+    joined = _geocoded_docs(sf_dir).map_batches(
+        PIPJoin,
+        fn_constructor_kwargs={"layers_ref": PIP_LAYERS, "mode": "left"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    return joined.groupby("layer").aggregate(Count(alias_name="n"))
+
+
+def q_pip_join_rows(sf_dir: str) -> ray.data.Dataset:
+    joined = _geocoded_docs(sf_dir).map_batches(
+        PIPJoin,
+        fn_constructor_kwargs={"layers_ref": PIP_LAYERS, "mode": "left"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    return joined.select_columns(["doc_id", "layer"])
+
+
+def q_pip_inner_pairs(sf_dir: str) -> ray.data.Dataset:
+    joined = _geocoded_docs(sf_dir).map_batches(
+        PIPJoin,
+        fn_constructor_kwargs={"layers_ref": PIP_LAYERS, "mode": "inner"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    return joined.select_columns(["doc_id", "layer"])
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+
+
+def q_knn_cosine(sf_dir: str) -> ray.data.Dataset:
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(
+        (
+            (r["vec_id"], r["embedding"])
+            for r in emb.map_batches(
+                lambda b: b.filter(pc.less(b["vec_id"], 5)), batch_format="pyarrow"
+            ).take_all()
+        )
+    )
+    qids = np.array([r[0] for r in qrows])
+    qvecs = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    out = knn_mod.knn_brute(emb, qvecs, k=5, key_col="vec_id", query_ids=qids)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# dedup / text
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_mod.exact_dedup(docs, key_col="doc_id", text_col="text")
+
+
+def q_lang_stats(sf_dir: str) -> ray.data.Dataset:
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return docs.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+def q_lang_pred_counts(sf_dir: str) -> ray.data.Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pred = docs.map_batches(
+        lambda b: lang_id_batch(b).select(["lang_pred"]), batch_format="pyarrow"
+    )
+    return pred.groupby("lang_pred").aggregate(Count(alias_name="n"))
+
+
+def q_token_stats(sf_dir: str) -> ray.data.Dataset:
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    counted = docs.map_batches(
+        lambda b: token_count_batch(b).select(["lang", "n_tokens"]), batch_format="pyarrow"
+    )
+    return counted.groupby("lang").aggregate(Sum("n_tokens", alias_name="sum_tokens"))
+
+
+def q_quality_hist(sf_dir: str) -> ray.data.Dataset:
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        scored = quality_score_batch(batch)
+        q = scored["quality"].to_numpy(zero_copy_only=False)
+        bucket = np.floor(q * 10.0).astype(np.int64)
+        return pa.Table.from_pydict({"bucket": pa.array(bucket, pa.int64())})
+
+    return (
+        docs.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational / streaming-shaped
+# ---------------------------------------------------------------------------
+
+
+def q_events_tumbling(sf_dir: str) -> ray.data.Dataset:
+    events = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def windowed(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = us // 3_600_000_000
+        out = batch.select(["event_type", "value"])
+        return out.append_column("window", pa.array(win, pa.int64()))
+
+    return (
+        events.map_batches(windowed, batch_format="pyarrow")
+        .groupby(["event_type", "window"])
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="vmin"),
+            Max("value", alias_name="vmax"),
+        )
+    )
+
+
+def q_lineitem_pricing(sf_dir: str) -> ray.data.Dataset:
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    return li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty")
+    )
+
+
+def q_orders_topk(sf_dir: str) -> ray.data.Dataset:
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(5)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["o_orderpriority", "o_orderkey", "rnk"]]
+
+    return orders.groupby("o_orderpriority").map_groups(topk, batch_format="pandas")
+
+
+def q_region_customers(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast join: customer ⋈ nation ⋈ region without a shuffle
+    (small dims via ray.put, lookup inside map_batches — J-pattern)."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    nation_to_region = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    region_name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put((nation_to_region, region_name))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n2r, rname = ray.get(lookup_ref)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        names = [rname[n2r[int(k)]] for k in nk]
+        return pa.Table.from_pydict({"r_name": pa.array(names, pa.string())})
+
+    customers = _read(sf_dir, "customer", ["c_nationkey"])
+    return (
+        customers.map_batches(tag, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+def q_anti_join_tiles(sf_dir: str) -> ray.data.Dataset:
+    """Docs whose z3 tile is NOT among the tiles of doc_id < 20
+    (tile ⋈ cache anti-join, J2)."""
+    w, h = ZOOM_DIMS[3]
+    cached_ids = np.arange(0, 20, dtype=np.int64)
+    cux, cuy = micro_from_ids(cached_ids)
+    ctx, cty = micro_tile(cux, cuy, w, h)
+    cached = set((ctx * 1000 + cty).tolist())
+    cached_ref = ray.put(cached)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        cset = ray.get(cached_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ux, uy = micro_from_ids(ids)
+        tx, ty = micro_tile(ux, uy, w, h)
+        key = tx * 1000 + ty
+        keep = ~np.isin(key, list(cset))
+        return batch.filter(pa.array(keep))
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(anti, batch_format="pyarrow")
+
+
+def q_dimension_cross(sf_dir: str) -> ray.data.Dataset:
+    """Dimension cross-product (M1): every doc's z2 tile x DATE values."""
+    w, h = ZOOM_DIMS[2]
+    dates = ("2005", "2010", "2012")
+
+    def cross(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ux, uy = micro_from_ids(ids)
+        tx, ty = micro_tile(ux, uy, w, h)
+        df = pd.DataFrame({"tx": np.repeat(tx, 3), "ty": np.repeat(ty, 3), "date": list(dates) * len(ids)})
+        g = df.groupby("date").size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = _read(sf_dir, "documents", ["doc_id"]).map_batches(cross, batch_format="pyarrow")
+    return partials.groupby("date").aggregate(Sum("n", alias_name="n"))
+
+
+def q_tile_union_area_z2(sf_dir: str) -> pa.Table:
+    """Area of the union of occupied z2 tile extents (G4 expire-union).
+
+    Tiles are disjoint axis-aligned boxes; the engine still computes a
+    real union via coordinate-compression sweep (pipelines.expire)."""
+    from tilecloud_chain_ray.pipelines.expire import union_area_of_boxes
+
+    w, h = ZOOM_DIMS[2]
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ux, uy = micro_from_ids(ids)
+        tx, ty = micro_tile(ux, uy, w, h)
+        df = pd.DataFrame({"tx": tx, "ty": ty}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = (
+        docs.map_batches(tiles, batch_format="pyarrow")
+        .groupby(["tx", "ty"])
+        .aggregate(Count(alias_name="n"))
+    )
+    rows = distinct.take_all()  # distinct z2 tiles: small
+    span = SWISSGRID_5.span(2)
+    boxes = np.array(
+        [
+            (
+                BBOX[0] + r["tx"] * span,
+                BBOX[3] - (r["ty"] + 1) * span,
+                BBOX[0] + (r["tx"] + 1) * span,
+                BBOX[3] - r["ty"] * span,
+            )
+            for r in rows
+        ]
+    ).reshape(-1, 4)
+    area = union_area_of_boxes(boxes)
+    n_tiles = len(rows)
+    return pa.Table.from_pydict(
+        {"n_tiles": pa.array([n_tiles], pa.int64()), "total_area": pa.array([area], pa.float64())}
+    )
+
+
+def q_sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Per-user session counts (gap > 600 s starts a new session) —
+    the streaming-shaped windowed aggregate (§2.9)."""
+    events = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64").to_numpy()
+        gaps = np.diff(us) > 600_000_000
+        return pd.DataFrame(
+            {"user_id": [group["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]}
+        )
+
+    return events.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# rows-only checked (non-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = dedup_mod.minhash_candidates(docs, concurrency=(1, 2))
+    verified = dedup_mod.verify_jaccard(cand, docs, threshold=0.8)
+    return verified.select_columns(["key_a", "key_b"])
+
+
+def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_mod.simhash_candidates(docs, max_hamming=3).select_columns(
+        ["key_a", "key_b", "hamming"]
+    )
+
+
+def q_embed_near_dup(sf_dir: str) -> ray.data.Dataset:
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = dedup_mod.embedding_near_dup(emb, threshold=0.9)
+    return out.select_columns(["key_a", "key_b"])
+
+
+def q_knn_cell_spatial(sf_dir: str) -> ray.data.Dataset:
+    geocoded = _geocoded_docs(sf_dir)
+    first_cells = sorted({r["cell"] for r in geocoded.take(50)})[:3]
+    return knn_mod.knn_cell(
+        geocoded, [int(c) for c in first_cells], BBOX, k=5, ring=2, cell_col="cell"
+    ).select_columns(["query_cell", "doc_id", "rank"])
+
+
+def q_density_tiles(sf_dir: str) -> ray.data.Dataset:
+    """Density pyramid over documents (webmerc z0-4); tile table rows."""
+    from tilecloud_chain_ray.config import Layer
+    from tilecloud_chain_ray.grid import WEBMERC
+    from tilecloud_chain_ray.pipelines.density import density_pyramid
+
+    docs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        make_geocoder(WEBMERC.bbox, "doc_id", cell_res=12), batch_format="pyarrow"
+    )
+    layer = Layer(name="doc_density", grid=WEBMERC, meta=False)
+    result = density_pyramid(docs, layer, zooms=[0, 1, 2, 3, 4], with_summary=False)
+    return result.tiles.select_columns(["z", "x", "y", "status", "size"])
+
+
+def q_generate_point_hash(sf_dir: str) -> pa.Table:
+    """The reference-parity flagship golden as a one-row table."""
+    from tilecloud_chain_ray.config import Layer
+    from tilecloud_chain_ray.geom import MultiPoint, Point
+    from tilecloud_chain_ray.pipelines.generate import generate_tiles
+
+    layer = Layer(
+        name="point_hash",
+        grid=SWISSGRID_5,
+        geometries=(MultiPoint((Point(600000, 200000), Point(530000, 150000))),),
+        meta=True,
+        meta_size=8,
+        meta_buffer=128,
+        min_resolution_seed=10,
+    )
+    result = generate_tiles(layer, concurrency=(1, 2))
+    s = result.summary
+    return pa.Table.from_pydict(
+        {
+            "metatiles_generated": pa.array([s["metatiles_generated"]], pa.int64()),
+            "metatiles_dropped": pa.array([s["metatiles_dropped"]], pa.int64()),
+            "tiles_generated": pa.array([s["tiles_generated"]], pa.int64()),
+            "tiles_dropped": pa.array([s["tiles_dropped"]], pa.int64()),
+            "tiles_stored": pa.array([s["tiles_stored"]], pa.int64()),
+        }
+    )

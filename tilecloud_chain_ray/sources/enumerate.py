@@ -184,7 +184,7 @@ def sparse_coord_dataset(
     layer: Layer,
     cli_bbox: tuple[float, float, float, float] | None = None,
     zooms: Sequence[int] | None = None,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
 ) -> ray.data.Dataset:
     """Sparse enumeration -> Dataset of metatile coordinate rows.
 

@@ -1,0 +1,342 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All shapes follow the scalable patterns: content hash computed
+vectorized inside ``map_batches``; the only shuffles are
+``groupby(hash)`` / ``groupby(band-bucket)`` over *small derived
+columns* (never the payload); candidate verification is per-bucket
+local work in ``map_groups``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+MERSENNE = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def add_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """md5 hex of utf8 text — matches DuckDB ``md5(text)`` exactly."""
+    texts = batch[text_col].to_pylist()
+    digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    return batch.append_column("content_md5", pa.array(digests, pa.string()))
+
+
+def exact_dedup(
+    ds: ray.data.Dataset, key_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Keep the min-key row per identical text (hash-partitioned).
+
+    Shuffle moves only (content_md5, key) after a projection — the
+    payload never moves; survivors are re-joined by key upstream if
+    needed.  Returns (content_md5, keep_key, dup_count).
+    """
+    hashed = ds.map_batches(
+        lambda b: add_md5(b, text_col).select([key_col, "content_md5"]),
+        batch_format="pyarrow",
+    )
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "content_md5": [group["content_md5"].iloc[0]],
+                "keep_key": [group[key_col].min()],
+                "dup_count": [len(group)],
+            }
+        )
+
+    return hashed.groupby("content_md5").map_groups(keep_first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """crc32 of word k-gram shingles (uint64)."""
+    words = text.split()
+    if len(words) < k:
+        return np.array([zlib.crc32(" ".join(words).encode())], dtype=np.uint64)
+    return np.array(
+        [zlib.crc32(" ".join(words[i : i + k]).encode()) for i in range(len(words) - k + 1)],
+        dtype=np.uint64,
+    )
+
+
+class MinHasher:
+    """num_perm seeded universal-hash permutations; vectorized per doc."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 7, shingle_k: int = 3) -> None:
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, MERSENNE, num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, MERSENNE, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.shingle_k)
+        # (num_perm, n_shingles) multiply-shift hash (mod 2^64 wraparound
+        # with odd multipliers — standard, fast, fully vectorized)
+        with np.errstate(over="ignore"):
+            v = self.a[:, None] * sh[None, :] + self.b[:, None]
+        return np.min(v, axis=1)
+
+
+class MinHashStage:
+    """Actor: emits (key, band, band_hash) rows — one per LSH band."""
+
+    def __init__(self, key_col="doc_id", text_col="text", num_perm=64, bands=16, seed=7):
+        assert num_perm % bands == 0
+        self.mh = MinHasher(num_perm, seed)
+        self.key_col, self.text_col = key_col, text_col
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        texts = batch[self.text_col].to_pylist()
+        out_key, out_band, out_hash = [], [], []
+        r = self.rows_per_band
+        for key, text in zip(keys, texts):
+            sig = self.mh.signature(text)
+            for b in range(self.bands):
+                chunk = sig[b * r : (b + 1) * r]
+                out_key.append(key)
+                out_band.append(b)
+                out_hash.append(zlib.crc32(chunk.tobytes()))
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(out_key, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+            }
+        )
+
+
+def minhash_candidates(
+    ds: ray.data.Dataset,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    concurrency: int | tuple[int, int] = (1, 4),
+) -> ray.data.Dataset:
+    """Candidate near-duplicate pairs: same (band, band_hash) bucket.
+
+    Returns distinct (key_a < key_b) pairs.  The groupby key is the
+    (band, band_hash) pair — salting is inherent (16 bands spread hot
+    content), buckets are tiny unless texts are truly identical.
+    """
+    banded = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={
+            "key_col": key_col,
+            "text_col": text_col,
+            "num_perm": num_perm,
+            "bands": bands,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ks = np.sort(group["key"].unique())
+        if len(ks) < 2:
+            return pd.DataFrame({"key_a": [], "key_b": []})
+        ia, ib = np.triu_indices(len(ks), k=1)
+        return pd.DataFrame({"key_a": ks[ia], "key_b": ks[ib]})
+
+    cand = banded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=["key_a", "key_b"])
+
+    return cand.groupby("key_a").map_groups(dedup_pairs, batch_format="pandas")
+
+
+def verify_jaccard(
+    candidate_pairs: ray.data.Dataset,
+    ds: ray.data.Dataset,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> ray.data.Dataset:
+    """Exact n-gram Jaccard verification of candidate pairs.
+
+    Broadcast the shingle sets of only the candidate keys (small side)
+    via ``ray.put``; verification is then an embarrassingly parallel
+    map over pairs.
+    """
+    keys_needed = set()
+    for row in candidate_pairs.take_all():
+        keys_needed.add(row["key_a"])
+        keys_needed.add(row["key_b"])
+    needed = ds.map_batches(
+        lambda b: b.filter(
+            pa.compute.is_in(b[key_col], value_set=pa.array(sorted(keys_needed)))
+        ).select([key_col, text_col]),
+        batch_format="pyarrow",
+    ).take_all()
+    shingles = {
+        r[key_col]: set(_shingle_hashes(r[text_col], shingle_k).tolist()) for r in needed
+    }
+    ref = ray.put(shingles)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sh = ray.get(ref)
+        a = batch["key_a"].to_numpy(zero_copy_only=False)
+        b = batch["key_b"].to_numpy(zero_copy_only=False)
+        jac = np.zeros(len(a))
+        for i in range(len(a)):
+            sa, sb = sh.get(a[i], set()), sh.get(b[i], set())
+            union = len(sa | sb)
+            jac[i] = len(sa & sb) / union if union else 0.0
+        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+        return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
+
+    return candidate_pairs.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit SimHash over word crc32 hashes; appends ``simhash`` plus
+    4 16-bit block columns for hamming-distance blocking."""
+    texts = batch[text_col].to_pylist()
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        words = t.split()
+        if not words:
+            continue
+        hashes = np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint64)
+        # widen to 64 bits with a second salt
+        hi = np.array([zlib.crc32(w.encode(), 0xABCD) for w in words], dtype=np.uint64)
+        h64 = (hi << np.uint64(32)) | hashes
+        bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        out[i] = np.uint64(
+            int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2)
+        )
+    table = batch.append_column("simhash", pa.array(out.astype(np.int64), pa.int64()))
+    for blk in range(4):
+        part = ((out >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int64)
+        table = table.append_column(f"simhash_b{blk}", pa.array(part, pa.int64()))
+    return table
+
+
+def simhash_candidates(
+    ds: ray.data.Dataset, key_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> ray.data.Dataset:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, blocked on
+    any equal 16-bit quarter (exact for max_hamming <= 3 by pigeonhole)."""
+    hashed = ds.map_batches(
+        lambda b: simhash_batch(b, text_col).select(
+            [key_col, "simhash", "simhash_b0", "simhash_b1", "simhash_b2", "simhash_b3"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
+        ks = g[key_col].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        if len(ks) < 2:
+            return pd.DataFrame({"key_a": [], "key_b": [], "hamming": []})
+        ia, ib = np.triu_indices(len(ks), k=1)
+        x = hs[ia] ^ hs[ib]
+        ham = np.zeros(len(x), dtype=np.int64)
+        v = x.copy()
+        for _ in range(64):
+            ham += (v & np.uint64(1)).astype(np.int64)
+            v >>= np.uint64(1)
+        ok = ham <= max_hamming
+        return pd.DataFrame({"key_a": ks[ia][ok], "key_b": ks[ib][ok], "hamming": ham[ok]})
+
+    parts = []
+    for blk in range(4):
+        parts.append(
+            hashed.groupby(f"simhash_b{blk}").map_groups(block_pairs, batch_format="pandas")
+        )
+    allp = parts[0].union(*parts[1:])
+
+    def dd(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=["key_a", "key_b"])
+
+    return allp.groupby("key_a").map_groups(dd, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup(
+    ds: ray.data.Dataset,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 11,
+    dim: int | None = None,
+) -> ray.data.Dataset:
+    """Near-duplicate vectors by cosine >= threshold.
+
+    Random-hyperplane LSH bucket (seeded) -> exact cosine within
+    buckets.  Note: LSH recall < 1 by construction for thresholds well
+    below 1; for exactness tests use brute force (knn.py).
+    """
+    first = ds.take(1)[0]
+    d = dim or len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((d, n_planes))
+    planes_ref = ray.put(planes)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True).clip(1e-12)
+        sig = (vecs @ pl > 0).astype(np.uint64)
+        code = (sig << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
+        return pa.Table.from_pydict(
+            {
+                "key": batch[key_col],
+                "bucket": pa.array(code.astype(np.int64), pa.int64()),
+                "vec": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    bucketed = ds.map_batches(bucket, batch_format="pyarrow")
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ks = group["key"].to_numpy()
+        order = np.argsort(ks)
+        ks = ks[order]
+        vecs = np.stack(group["vec"].to_numpy()[order])
+        if len(ks) < 2:
+            return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
+        sims = vecs @ vecs.T
+        ia, ib = np.triu_indices(len(ks), k=1)
+        ok = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"key_a": ks[ia][ok], "key_b": ks[ib][ok], "cosine": sims[ia, ib][ok]}
+        )
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")

@@ -63,7 +63,7 @@ def add_geom_filter(
     ds: ray.data.Dataset,
     layer: Layer,
     geoms: Mapping[int, Geometry] | None = None,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 8192,
 ) -> ray.data.Dataset:
     """Wire the filter as an actor-pool stage (geometry shipped once)."""

@@ -1,0 +1,140 @@
+"""kNN / similarity search over embedding columns (SURVEY.md J4).
+
+* ``knn_brute``   — exact top-k cosine: the query matrix is broadcast
+  once (``ray.put``), each batch computes a (batch x queries) matmul
+  and emits its local top-k partials; a tiny ``groupby(query)``
+  merge produces the global top-k.  Scales: the shuffle moves only
+  ``O(n_batches * k * n_queries)`` rows.
+* ``knn_cell``    — candidate-restricted variant: per-cell bucketing of
+  points + ``grid_disk`` rings around each query cell (the IVF-style
+  scale path for spatial kNN on geocoded rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from tilecloud_chain_ray.functions.cells import cell_decode, grid_disk
+
+
+def knn_brute(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 5,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: np.ndarray | None = None,
+    metric: str = "cosine",
+) -> ray.data.Dataset:
+    """Exact top-k neighbors of each query row; result columns
+    (query_id, vec_id, score, rank) with rank 1..k by descending score,
+    ties broken by ascending vec_id (deterministic)."""
+    queries = np.asarray(queries, dtype=np.float64)
+    if query_ids is None:
+        query_ids = np.arange(len(queries))
+    if metric == "cosine":
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True).clip(1e-12)
+    else:
+        qn = queries
+    q_ref = ray.put((qn, np.asarray(query_ids)))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q, qids = ray.get(q_ref)
+        vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        if metric == "cosine":
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True).clip(1e-12)
+            scores = vecs @ q.T  # (n, nq)
+        else:  # negative euclidean distance as score
+            d2 = ((vecs[:, None, :] - q[None, :, :]) ** 2).sum(-1)
+            scores = -np.sqrt(d2)
+        kk = min(k, len(keys))
+        out_q, out_key, out_score = [], [], []
+        for j in range(q.shape[0]):
+            col = scores[:, j]
+            idx = np.argpartition(-col, kk - 1)[:kk]
+            out_q.extend([qids[j]] * kk)
+            out_key.extend(keys[idx].tolist())
+            out_score.extend(col[idx].tolist())
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                key_col: pa.array(out_key, pa.int64()),
+                "score": pa.array(out_score, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", key_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def knn_cell(
+    ds: ray.data.Dataset,
+    query_cells: list[int],
+    bbox: tuple[float, float, float, float],
+    k: int = 5,
+    ring: int = 1,
+    key_col: str = "doc_id",
+    cell_col: str = "cell",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Spatial kNN restricted to grid_disk(ring) candidate cells.
+
+    For each query cell: the k points nearest (euclidean, map coords)
+    to the cell center among points whose cell lies within the ring.
+    Points outside every ring are dropped *before* the shuffle (the
+    broadcast ring set is a semi-join filter); the shuffle key is the
+    query cell.  Ring too small to hold k points -> fewer rows (the
+    caller widens the ring), the standard IVF-probe trade-off.
+    """
+    ring_map: dict[int, list[int]] = {}
+    for qc in query_cells:
+        for c in grid_disk(qc, ring).tolist():
+            ring_map.setdefault(int(c), []).append(int(qc))
+    ring_ref = ray.put(ring_map)
+
+    centers: dict[int, tuple[float, float]] = {}
+    for qc in query_cells:
+        res, cx, cy = cell_decode(np.array([qc], dtype=np.uint64))
+        size = 1 << int(res[0])
+        fx = (int(cx[0]) + 0.5) / size
+        fy = (int(cy[0]) + 0.5) / size
+        centers[int(qc)] = (
+            bbox[0] + fx * (bbox[2] - bbox[0]),
+            bbox[3] - fy * (bbox[3] - bbox[1]),  # micro y grows downward
+        )
+    centers_ref = ray.put(centers)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rm = ray.get(ring_ref)
+        cells = batch[cell_col].to_numpy(zero_copy_only=False)
+        take, qids = [], []
+        for i, c in enumerate(cells):
+            for qc in rm.get(int(c), ()):
+                take.append(i)
+                qids.append(qc)
+        out = batch.select([key_col, x_col, y_col]).take(pa.array(take, pa.int64()))
+        return out.append_column("query_cell", pa.array(qids, pa.int64()))
+
+    cand = ds.map_batches(explode, batch_format="pyarrow")
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        cx, cy = ray.get(centers_ref)[int(group["query_cell"].iloc[0])]
+        d = np.hypot(group[x_col].to_numpy() - cx, group[y_col].to_numpy() - cy)
+        g = group.assign(dist=d).sort_values(["dist", key_col]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cand.groupby("query_cell").map_groups(topk, batch_format="pandas")

@@ -128,7 +128,7 @@ def pip_join(
     ds: ray.data.Dataset,
     layers: list[tuple[str, Geometry]],
     mode: str = "left",
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 16384,
     **kw,
 ) -> ray.data.Dataset:
