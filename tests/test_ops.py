@@ -1,0 +1,186 @@
+"""Operator tests: dedup family, kNN, text, cost, expire, copy,
+tiles-file source, multimodal stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from tilecloud_chain_ray.config import Layer
+from tilecloud_chain_ray.grid import SWISSGRID_5
+from tilecloud_chain_ray.pipelines.cost import estimate_cost, geometry_area
+from tilecloud_chain_ray.pipelines.expire import merge_tile_runs, union_area_of_boxes
+from tilecloud_chain_ray.geom import Polygon, box
+from tilecloud_chain_ray.stages import dedup as dd
+from tilecloud_chain_ray.stages import knn as knn_mod
+from tilecloud_chain_ray.stages.multimodal import (
+    FrameSampler,
+    MediaDecoder,
+    MediaResizer,
+    synthesize_media,
+)
+
+
+def docs_with_dups(n=200, dup_every=10):
+    texts = []
+    for i in range(n):
+        if i >= dup_every and i % dup_every == 0:
+            texts.append(texts[i - dup_every])
+        else:
+            rng = np.random.default_rng(1000 + i)
+            texts.append(" ".join(f"w{v}" for v in rng.integers(0, 500, 60)))
+    return pa.Table.from_pydict({"doc_id": list(range(n)), "text": texts})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_finds_planted():
+    table = docs_with_dups()
+    ds = ray.data.from_arrow(table)
+    out = dd.exact_dedup(ds).to_pandas()
+    dups = out[out["dup_count"] > 1]
+    # the planted copies chain (20 copies 10 which copies 0): one group
+    # of all multiples of 10, surviving under the smallest doc_id
+    assert len(dups) == 1
+    assert dups["dup_count"].iloc[0] == 20
+    assert dups["keep_key"].iloc[0] == 0
+    assert len(out) == 200 - 19  # 181 distinct texts
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_finds_exact_dups():
+    table = docs_with_dups()
+    ds = ray.data.from_arrow(table)
+    cand = dd.minhash_candidates(ds, concurrency=(1, 2))
+    verified = dd.verify_jaccard(cand, ds, threshold=0.99).to_pandas()
+    got = {(a, b) for a, b in zip(verified["key_a"], verified["key_b"])}
+    expected = {(i - 10, i) for i in range(10, 200, 10)}
+    assert expected <= got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_finds_exact_dups():
+    table = docs_with_dups(100)
+    ds = ray.data.from_arrow(table)
+    out = dd.simhash_candidates(ds, max_hamming=3).to_pandas()
+    got = {(a, b) for a, b in zip(out["key_a"], out["key_b"])}
+    expected = {(i - 10, i) for i in range(10, 100, 10)}
+    assert expected <= got
+    assert (out["hamming"] <= 3).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_brute_exact():
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    table = pa.Table.from_pydict(
+        {"vec_id": list(range(200)), "embedding": [v.tolist() for v in vecs]}
+    )
+    ds = ray.data.from_arrow(table)
+    out = knn_mod.knn_brute(ds, vecs[:3].astype(np.float64), k=4, query_ids=np.arange(3))
+    df = out.to_pandas()
+    # brute-force reference
+    v64 = vecs.astype(np.float64)
+    v64 /= np.linalg.norm(v64, axis=1, keepdims=True)
+    for qid in range(3):
+        scores = v64 @ v64[qid]
+        expect = np.argsort(-scores, kind="stable")[:4]
+        got = df[df["query_id"] == qid].sort_values("rank")["vec_id"].to_numpy()
+        assert got[0] == qid  # self is rank 1
+        assert set(got) == set(expect)
+
+
+def test_union_area_and_runs():
+    boxes = np.array(
+        [[0, 0, 2, 2], [1, 1, 3, 3], [10, 10, 11, 11]], dtype=np.float64
+    )
+    assert union_area_of_boxes(boxes) == pytest.approx(4 + 4 - 1 + 1)
+    runs = merge_tile_runs(np.array([[1, 5], [2, 5], [3, 5], [5, 5], [1, 6]]))
+    assert runs == [(5, 1, 3), (5, 5, 5), (6, 1, 1)]
+
+
+def test_cost_estimator():
+    poly = box(530000, 150000, 600000, 200000)
+    assert geometry_area(poly) == pytest.approx(70000 * 50000)
+    layer = Layer(name="polygon", grid=SWISSGRID_5, geometries=(poly,), meta=False)
+    by_area = estimate_cost(layer, zooms=[0], algo="area")[0]
+    by_count = estimate_cost(layer, zooms=[0], algo="count")[0]
+    # z0 span 25600 -> area/tile^2 = 5.34 -> ~5; exact count = 12 (edge tiles)
+    assert by_count.n_tiles == 12
+    assert 4 <= by_area.n_tiles <= 12
+    assert by_count.time_sec == pytest.approx(12 * 0.040)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_copy_cache_roundtrip(tmp_path):
+    from tilecloud_chain_ray.geom import MultiPoint, Point
+    from tilecloud_chain_ray.pipelines.copy_ import copy_cache, read_wmts_layout
+    from tilecloud_chain_ray.pipelines.generate import generate_tiles
+
+    layer = Layer(
+        name="point_hash",
+        grid=SWISSGRID_5,
+        geometries=(MultiPoint((Point(600000, 200000), Point(530000, 150000))),),
+        meta=True,
+        meta_size=8,
+        meta_buffer=128,
+        min_resolution_seed=10,
+    )
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    generate_tiles(layer, out_wmts=src, concurrency=(1, 2))
+    n = copy_cache(src, dst, layer, concurrency=(1, 2))
+    assert n == 8
+    back = read_wmts_layout(dst, layer)
+    assert back.count() == 8
+    rows = back.take_all()
+    assert {(r["z"], r["y"], r["x"]) for r in rows} == {
+        (0, 5, 7), (0, 7, 4), (1, 11, 14), (1, 15, 8),
+        (2, 29, 35), (2, 39, 21), (3, 58, 70), (3, 78, 42),
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tiles_file_source(tmp_path):
+    from tilecloud_chain_ray.sources.tiles_file import tiles_file_dataset
+
+    p = tmp_path / "error.list"
+    p.write_text(
+        "0/5/7\n"
+        "3/58/70 layer=point_hash\n"
+        "0/0/0:+8/+8# [2024-01-01] some error message\n"
+        "\n"
+    )
+    ds = tiles_file_dataset(str(p), "point_hash", "swissgrid_5")
+    rows = ds.take_all()
+    assert [(r["z"], r["x"], r["y"], r["n"]) for r in rows] == [
+        (0, 5, 7, 1),
+        (3, 58, 70, 1),
+        (0, 0, 0, 8),
+    ]
+
+
+def test_multimodal_stages():
+    media = synthesize_media(20, kind="video")
+    decoded = MediaDecoder("raw")(media)
+    assert decoded.num_rows == 20
+    assert "mean_intensity" in decoded.schema.names
+    assert (decoded["decoded_h"].to_numpy() == media["meta_height"].to_numpy()).all()
+
+    resized = MediaResizer(target=8)(media)
+    assert (resized["meta_width"].to_numpy() == 8).all()
+    d2 = MediaDecoder("raw")(resized)
+    assert (d2["decoded_h"].to_numpy() == 8).all()
+
+    frames = FrameSampler(n_frames=3)(media)
+    assert frames.num_rows == 60
+    assert frames["frame_ts_ms"].to_numpy().max() <= media["meta_duration_ms"].to_numpy().max()
+
+    with pytest.raises(NotImplementedError):
+        MediaDecoder("jpeg")
+
+
+def test_media_decoder_rejects_unknown_codec_message():
+    try:
+        MediaDecoder("png")
+    except NotImplementedError as e:
+        assert "PIL" in str(e)

@@ -52,55 +52,59 @@ def cell_counts(
     return partials.groupby(cell_col).aggregate(Sum(count_col, alias_name=count_col))
 
 
-def rollup_to_zoom(counts: ray.data.Dataset, zoom: int) -> ray.data.Dataset:
-    """Cell counts at res R -> (z, tx, ty, pcol, prow, n) pixel rows.
-
-    pcol/prow are the pixel offsets inside the 256-px tile; cells finer
-    than z+8 collapse (partial-sum + groupby on the already-small count
-    table)."""
+def pixel_rows_all_zooms(counts: ray.data.Dataset, zooms: Sequence[int]) -> ray.data.Dataset:
+    """Cell counts at res R -> (z, tx, ty, pcol, prow, n) for EVERY zoom
+    in one vectorized pass (the per-zoom rollup is bit-shift arithmetic,
+    so fanning out all zooms costs len(zooms) x rows of the *small*
+    count table and buys a single downstream shuffle)."""
 
     def to_pixels(batch: pa.Table) -> pa.Table:
         cells = batch["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
         n = batch["n"].to_numpy(zero_copy_only=False)
         res, cx, cy = cell_decode(cells)
-        pixel_res = zoom + 8
-        shift = (res - pixel_res).astype(np.int64)
-        if (shift < 0).any():
-            raise ValueError(f"cell res {res.min()} coarser than pixel res {pixel_res}")
-        px = (cx >> shift).astype(np.int64)
-        py = (cy >> shift).astype(np.int64)
+        zs, txs, tys, pcols, prows, ns = [], [], [], [], [], []
+        for zoom in zooms:
+            pixel_res = zoom + 8
+            shift = (res - pixel_res).astype(np.int64)
+            if (shift < 0).any():
+                raise ValueError(f"cell res {res.min()} coarser than pixel res {pixel_res}")
+            px = (cx >> shift).astype(np.int64)
+            py = (cy >> shift).astype(np.int64)
+            zs.append(np.full(len(px), zoom, dtype=np.int32))
+            txs.append(px >> 8)
+            tys.append(py >> 8)
+            pcols.append(px & 255)
+            prows.append(py & 255)
+            ns.append(n)
         return pa.Table.from_pydict(
             {
-                "z": pa.array(np.full(len(px), zoom, dtype=np.int32), pa.int32()),
-                "tx": pa.array(px >> 8, pa.int64()),
-                "ty": pa.array(py >> 8, pa.int64()),
-                "pcol": pa.array(px & 255, pa.int64()),
-                "prow": pa.array(py & 255, pa.int64()),
-                "n": pa.array(n, pa.int64()),
+                "z": pa.array(np.concatenate(zs), pa.int32()),
+                "tx": pa.array(np.concatenate(txs), pa.int64()),
+                "ty": pa.array(np.concatenate(tys), pa.int64()),
+                "pcol": pa.array(np.concatenate(pcols), pa.int64()),
+                "prow": pa.array(np.concatenate(prows), pa.int64()),
+                "n": pa.array(np.concatenate(ns), pa.int64()),
             }
         )
 
-    pixel_rows = counts.map_batches(to_pixels, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
-
-    return pixel_rows.groupby(["z", "tx", "ty", "pcol", "prow"]).aggregate(
-        Sum("n", alias_name="n")
-    )
+    return counts.map_batches(to_pixels, batch_format="pyarrow")
 
 
 def tiles_with_pixels(pixel_counts: ray.data.Dataset) -> ray.data.Dataset:
-    """Group pixel rows into one row per tile with pixel list columns."""
+    """ONE shuffle: group pixel rows by (z, tile), summing duplicate
+    pixels and building the pixel list columns in the same map_groups."""
 
     def collect(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby(["pcol", "prow"], as_index=False)["n"].sum()
         return pd.DataFrame(
             {
                 "z": [np.int32(group["z"].iloc[0])],
                 "x": [np.int64(group["tx"].iloc[0])],
                 "y": [np.int64(group["ty"].iloc[0])],
                 "n": [np.int32(1)],
-                "pixel_cols": [group["pcol"].to_numpy().astype(np.int64)],
-                "pixel_rows": [group["prow"].to_numpy().astype(np.int64)],
-                "pixel_counts": [group["n"].to_numpy().astype(np.int64)],
+                "pixel_cols": [agg["pcol"].to_numpy().astype(np.int64)],
+                "pixel_rows": [agg["prow"].to_numpy().astype(np.int64)],
+                "pixel_counts": [agg["n"].to_numpy().astype(np.int64)],
             }
         )
 
@@ -124,10 +128,8 @@ def density_pyramid(
     from tilecloud_chain_ray.pipelines.generate import GenerateResult
 
     assert not layer.meta, "density tiles are rendered per-tile (meta=False)"
-    counts = cell_counts(geocoded, cell_col=cell_col).materialize()  # small: <= #distinct cells
-
-    per_zoom = [tiles_with_pixels(rollup_to_zoom(counts, z)) for z in zooms]
-    tile_rows = per_zoom[0] if len(per_zoom) == 1 else per_zoom[0].union(*per_zoom[1:])
+    counts = cell_counts(geocoded, cell_col=cell_col)
+    tile_rows = tiles_with_pixels(pixel_rows_all_zooms(counts, zooms))
     tile_rows = tile_rows.map_batches(
         lambda b: b.append_column("layer", pa.array([layer.name] * b.num_rows, pa.string()))
         .append_column("grid", pa.array([layer.grid.name] * b.num_rows, pa.string())),
@@ -135,25 +137,29 @@ def density_pyramid(
     )
 
     _, empty_tile = empty_signatures(layer)
-    rendered = tile_rows.map_batches(
-        DensityRenderer,
-        fn_constructor_kwargs={"layer": layer},
-        batch_format="pyarrow",
-        batch_size=64,
-        concurrency=concurrency,
-    )
+
+    from tilecloud_chain_ray.util import process_cached
+
+    def render_fn(batch: pa.Table) -> pa.Table:
+        # cheap per-process state (color ramp) -> task-based stage
+        renderer = process_cached(("density_renderer", layer.name), lambda: DensityRenderer(layer))
+        return renderer(batch)
+
+    rendered = tile_rows.map_batches(render_fn, batch_format="pyarrow", batch_size=64)
     tiles = rendered.map_batches(
         make_hash_dropper(layer.empty_tile or empty_tile, "dropped"),
         batch_format="pyarrow",
     )
     tiles = tiles.map_batches(finalize_tiles, batch_format="pyarrow")
     if out_wmts is not None:
-        tiles = tiles.map_batches(
-            WmtsWriter,
-            fn_constructor_kwargs={"layer": layer, "root": out_wmts},
-            batch_format="pyarrow",
-            concurrency=concurrency,
-        )
+
+        def write_fn(batch: pa.Table) -> pa.Table:
+            writer = process_cached(
+                ("wmts_writer", layer.name, out_wmts), lambda: WmtsWriter(layer, out_wmts)
+            )
+            return writer(batch)
+
+        tiles = tiles.map_batches(write_fn, batch_format="pyarrow")
     if out_parquet is not None:
         tiles.write_parquet(out_parquet, partition_cols=["z"])
         tiles = ray.data.read_parquet(out_parquet)

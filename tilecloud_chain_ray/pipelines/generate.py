@@ -100,14 +100,25 @@ def generate_tiles(
         empty_tile = empty_tile or sig_tile
 
     # the renderer draws the layer's own source geometries (the WMS/Mapnik
-    # data analog), independent of the seeding bbox/geometry filter
+    # data analog), independent of the seeding bbox/geometry filter.
+    # Renderer/splitter state is cheap (decoded geoms via one broadcast
+    # ray.put, color table) -> task-based stages with a per-process cache
+    # fuse into one operator and reuse warm workers; a true actor pool
+    # only pays off for heavy state (see stages/pip_join.py).
+    from tilecloud_chain_ray.util import process_cached
+
     geoms_ref = ray.put(list(layer.geometries))
+    rkw = dict(renderer_kwargs or {})
+
+    def render_fn(batch: pa.Table) -> pa.Table:
+        r = process_cached(
+            ("renderer", renderer_cls.__name__, layer.name, geoms_ref.hex()),
+            lambda: renderer_cls(layer=layer, geoms_ref=geoms_ref, **rkw),
+        )
+        return r(batch)
+
     rendered = coords.map_batches(
-        renderer_cls,
-        fn_constructor_kwargs={"layer": layer, "geoms_ref": geoms_ref, **(renderer_kwargs or {})},
-        batch_format="pyarrow",
-        batch_size=render_batch_size,
-        concurrency=concurrency,
+        render_fn, batch_format="pyarrow", batch_size=render_batch_size
     )
     if layer.meta:
         rendered = rendered.map_batches(
@@ -115,12 +126,15 @@ def generate_tiles(
             batch_format="pyarrow",
             batch_size=render_batch_size,
         )
+
+    split_key = ("splitter", layer.name, layer.meta, layer.meta_size, layer.meta_buffer, layer.grid.tile_size)
+
+    def split_fn(batch: pa.Table) -> pa.Table:
+        s = process_cached(split_key, lambda: MetatileSplitter(layer))
+        return s(batch)
+
     tiles = rendered.map_batches(
-        MetatileSplitter,
-        fn_constructor_kwargs={"layer": layer},
-        batch_format="pyarrow",
-        batch_size=render_batch_size,
-        concurrency=concurrency,
+        split_fn, batch_format="pyarrow", batch_size=render_batch_size
     )
     tiles = tiles.map_batches(
         make_hash_dropper(empty_tile, "dropped"), batch_format="pyarrow"
@@ -128,12 +142,14 @@ def generate_tiles(
     tiles = tiles.map_batches(finalize_tiles, batch_format="pyarrow")
 
     if out_wmts is not None:
-        tiles = tiles.map_batches(
-            WmtsWriter,
-            fn_constructor_kwargs={"layer": layer, "root": out_wmts},
-            batch_format="pyarrow",
-            concurrency=concurrency,
-        )
+
+        def write_fn(batch: pa.Table) -> pa.Table:
+            w = process_cached(
+                ("wmts_writer", layer.name, out_wmts), lambda: WmtsWriter(layer, out_wmts)
+            )
+            return w(batch)
+
+        tiles = tiles.map_batches(write_fn, batch_format="pyarrow")
     if out_parquet is not None:
         # consume: write the tile table (drops nothing; statuses kept for lineage)
         tiles.write_parquet(out_parquet, partition_cols=["z"])

@@ -69,6 +69,17 @@ def pages_chunk(start: int, count: int, seed: int = 42, avg_html: int = 2048) ->
     )
 
 
+def _write_chunk(out_dir: str, start: int, count: int, seed: int, avg_html: int) -> str:
+    path = os.path.join(out_dir, f"pages_{start:012d}.parquet")
+    if os.path.exists(path):
+        return path
+    table = pages_chunk(start, count, seed=seed, avg_html=avg_html)
+    tmp = path + f".tmp{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def synthesize_pages(
     out_dir: str,
     num_pages: int,
@@ -79,16 +90,33 @@ def synthesize_pages(
     """Write the pages table as partitioned parquet; returns out_dir.
 
     One file per row-chunk so readers parallelize and a partial rerun
-    can skip complete files (idempotent: skips files that exist).
+    can skip complete files (idempotent: atomic per-file writes, chunks
+    generated in parallel via Ray when a session is up).
     """
     os.makedirs(out_dir, exist_ok=True)
-    for start in range(0, num_pages, rows_per_file):
-        count = min(rows_per_file, num_pages - start)
-        path = os.path.join(out_dir, f"pages_{start:012d}.parquet")
-        if os.path.exists(path):
-            continue
-        table = pages_chunk(start, count, seed=seed, avg_html=avg_html)
-        pq.write_table(table, path)
+    chunks = [
+        (start, min(rows_per_file, num_pages - start))
+        for start in range(0, num_pages, rows_per_file)
+    ]
+    todo = [
+        (s, c)
+        for s, c in chunks
+        if not os.path.exists(os.path.join(out_dir, f"pages_{s:012d}.parquet"))
+    ]
+    if not todo:
+        return out_dir
+    try:
+        import ray
+
+        parallel = ray.is_initialized()
+    except ImportError:
+        parallel = False
+    if parallel and len(todo) > 1:
+        write = ray.remote(_write_chunk)
+        ray.get([write.remote(out_dir, s, c, seed, avg_html) for s, c in todo])
+    else:
+        for s, c in todo:
+            _write_chunk(out_dir, s, c, seed, avg_html)
     return out_dir
 
 

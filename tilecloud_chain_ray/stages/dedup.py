@@ -42,21 +42,16 @@ def exact_dedup(
     payload never moves; survivors are re-joined by key upstream if
     needed.  Returns (content_md5, keep_key, dup_count).
     """
+    from ray.data.aggregate import Count, Min
+
     hashed = ds.map_batches(
         lambda b: add_md5(b, text_col).select([key_col, "content_md5"]),
         batch_format="pyarrow",
     )
-
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "content_md5": [group["content_md5"].iloc[0]],
-                "keep_key": [group[key_col].min()],
-                "dup_count": [len(group)],
-            }
-        )
-
-    return hashed.groupby("content_md5").map_groups(keep_first, batch_format="pandas")
+    # pure vectorized hash aggregation — never a per-group Python call
+    return hashed.groupby("content_md5").aggregate(
+        Min(key_col, alias_name="keep_key"), Count(alias_name="dup_count")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -64,15 +59,27 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+_SHINGLE_MULTS = (
+    np.uint64(0x9E3779B97F4A7C15),
+    np.uint64(0xC2B2AE3D27D4EB4F),
+    np.uint64(0x165667B19E3779F9),
+)
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """crc32 of word k-gram shingles (uint64)."""
+    """Word k-gram shingle hashes: per-word crc32 (C speed) combined by
+    position-salted multiply-xor (vectorized) — one crc per WORD, not
+    per shingle."""
     words = text.split()
     if len(words) < k:
         return np.array([zlib.crc32(" ".join(words).encode())], dtype=np.uint64)
-    return np.array(
-        [zlib.crc32(" ".join(words[i : i + k]).encode()) for i in range(len(words) - k + 1)],
-        dtype=np.uint64,
-    )
+    w = np.array([zlib.crc32(wd.encode()) for wd in words], dtype=np.uint64)
+    n = len(w) - k + 1
+    with np.errstate(over="ignore"):
+        h = w[:n] * _SHINGLE_MULTS[0]
+        for j in range(1, k):
+            h = h ^ (w[j : j + n] * _SHINGLE_MULTS[min(j, 2)])
+    return h
 
 
 class MinHasher:
@@ -131,7 +138,7 @@ def minhash_candidates(
     text_col: str = "text",
     num_perm: int = 64,
     bands: int = 16,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] = (1, 8),
 ) -> ray.data.Dataset:
     """Candidate near-duplicate pairs: same (band, band_hash) bucket.
 
@@ -139,17 +146,51 @@ def minhash_candidates(
     (band, band_hash) pair — salting is inherent (16 bands spread hot
     content), buckets are tiny unless texts are truly identical.
     """
-    banded = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={
-            "key_col": key_col,
-            "text_col": text_col,
-            "num_perm": num_perm,
-            "bands": bands,
-        },
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    from ray.data.aggregate import Count
+
+    from tilecloud_chain_ray.util import process_cached
+
+    params = (key_col, text_col, num_perm, bands)
+
+    def band_fn(batch: pa.Table) -> pa.Table:
+        # task-based with per-process hasher cache: fuses with upstream
+        # stages and reuses warm workers (an actor pool here pays ~0.5s
+        # per actor of serial autoscaling spin-up for trivial state)
+        stage = process_cached(
+            ("minhash", params),
+            lambda: MinHashStage(
+                key_col=key_col, text_col=text_col, num_perm=num_perm, bands=bands
+            ),
+        )
+        return stage(batch)
+
+    banded = ds.map_batches(band_fn, batch_format="pyarrow", batch_size=2048)
+    # banded rows are (int64, int32, int64) only — tiny; materialize so
+    # the signature computation runs once, not once per consumer
+    banded = banded.materialize()
+    # most buckets are singletons: find the hot (band, band_hash) pairs
+    # with a vectorized aggregate, broadcast that (tiny) set, and run the
+    # per-group pair expansion only over hot buckets
+    hot = banded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="c"))
+    hot_keys = {
+        (r["band"], r["band_hash"]) for r in hot.take_all() if r["c"] >= 2
+    }
+    if not hot_keys:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"key_a": pa.array([], pa.int64()), "key_b": pa.array([], pa.int64())}
+            )
+        )
+    hot_ref = ray.put(hot_keys)
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        b = batch["band"].to_numpy(zero_copy_only=False)
+        h = batch["band_hash"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            ((int(bb), int(hh)) in hk for bb, hh in zip(b, h)), dtype=bool, count=len(b)
+        )
+        return batch.filter(pa.array(keep))
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ks = np.sort(group["key"].unique())
@@ -158,12 +199,20 @@ def minhash_candidates(
         ia, ib = np.triu_indices(len(ks), k=1)
         return pd.DataFrame({"key_a": ks[ia], "key_b": ks[ib]})
 
-    cand = banded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    cand = (
+        banded.map_batches(only_hot, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(pairs, batch_format="pandas")
+    )
 
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(subset=["key_a", "key_b"])
-
-    return cand.groupby("key_a").map_groups(dedup_pairs, batch_format="pandas")
+    # global pair dedup: one vectorized aggregate instead of per-key groups
+    return (
+        cand.groupby(["key_a", "key_b"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda b: b.select(["key_a", "key_b"]), batch_format="pyarrow"
+        )
+    )
 
 
 def verify_jaccard(
@@ -254,6 +303,8 @@ def simhash_candidates(
         batch_format="pyarrow",
     )
 
+    from ray.data.aggregate import Count, Min
+
     def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
         ks = g[key_col].to_numpy()
@@ -270,17 +321,38 @@ def simhash_candidates(
         ok = ham <= max_hamming
         return pd.DataFrame({"key_a": ks[ia][ok], "key_b": ks[ib][ok], "hamming": ham[ok]})
 
+    hashed = hashed.materialize()  # reused by 4 block passes
     parts = []
     for blk in range(4):
-        parts.append(
-            hashed.groupby(f"simhash_b{blk}").map_groups(block_pairs, batch_format="pandas")
+        col = f"simhash_b{blk}"
+        hot = hashed.groupby(col).aggregate(Count(alias_name="c"))
+        hot_vals = pa.array(sorted(r[col] for r in hot.take_all() if r["c"] >= 2))
+        if len(hot_vals) == 0:
+            continue
+        filtered = hashed.map_batches(
+            lambda b, col=col, hv=hot_vals: b.filter(
+                pa.compute.is_in(b[col], value_set=hv)
+            ),
+            batch_format="pyarrow",
         )
-    allp = parts[0].union(*parts[1:])
+        parts.append(filtered.groupby(col).map_groups(block_pairs, batch_format="pandas"))
+    if not parts:
+        import ray.data as rd
 
-    def dd(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(subset=["key_a", "key_b"])
-
-    return allp.groupby("key_a").map_groups(dd, batch_format="pandas")
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "key_a": pa.array([], pa.int64()),
+                    "key_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        )
+    allp = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    return (
+        allp.groupby(["key_a", "key_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -31,7 +31,7 @@ class PIPJoin:
         x_col: str = "x",
         y_col: str = "y",
         out_col: str = "layer",
-        bucket_bits: int = 6,
+        bucket_bits: int | None = None,
     ) -> None:
         layers: list[tuple[str, Geometry]] = (
             ray.get(layers_ref) if isinstance(layers_ref, ray.ObjectRef) else layers_ref
@@ -59,6 +59,10 @@ class PIPJoin:
             )
         else:
             self.extent = (0.0, 0.0, 1.0, 1.0)
+        if bucket_bits is None:
+            # ~1 polygon per bucket row: fine grids only pay off when the
+            # polygon set is large (few polygons -> few bucket iterations)
+            bucket_bits = max(0, min(8, int(np.ceil(np.log2(max(len(self.polys), 1)) / 2))))
         self.bucket_bits = bucket_bits
 
     def _buckets(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
