@@ -1,0 +1,173 @@
+"""Post-process, error budget, formatters, manifest, server read API,
+shard filter, pages text-passthrough invariant."""
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from tilecloud_chain_ray.config import Layer
+from tilecloud_chain_ray.functions.format import duration_format, size_format
+from tilecloud_chain_ray.functions.png import decode_png, encode_png
+from tilecloud_chain_ray.grid import SWISSGRID_5, WEBMERC
+from tilecloud_chain_ray.geom import MultiPoint, Point
+from tilecloud_chain_ray.server import ParquetTileServer, get_tile_fs
+from tilecloud_chain_ray.sinks.manifest import write_manifest
+from tilecloud_chain_ray.stages.error_budget import (
+    ErrorBudgetExceeded,
+    make_error_budget_stage,
+)
+from tilecloud_chain_ray.stages.postprocess import (
+    make_external_process,
+    png_recompress,
+)
+from tilecloud_chain_ray.stages.shard import local_process_filter
+
+POINTS = MultiPoint((Point(600000, 200000), Point(530000, 150000)))
+
+
+def point_layer():
+    return Layer(
+        name="point_hash",
+        grid=SWISSGRID_5,
+        geometries=(POINTS,),
+        meta=True,
+        meta_size=8,
+        meta_buffer=128,
+        min_resolution_seed=10,
+    )
+
+
+def test_formatters():
+    assert size_format(500) == "500 o"
+    assert size_format(2048) == "2.0 Kio"
+    assert duration_format(3725) == "1:02:05"
+
+
+def test_external_process_allow_list():
+    with pytest.raises(ValueError):
+        make_external_process("rm -rf %(in)s")
+    # allow-listed but missing binary: rows become error rows, no raise
+    proc = make_external_process("optipng -o2 %(in)s")
+    batch = pa.Table.from_pydict(
+        {
+            "z": [0],
+            "x": [1],
+            "y": [2],
+            "data": [encode_png(np.zeros((4, 4, 4), dtype=np.uint8))],
+            "status": ["generated"],
+        }
+    )
+    out = proc(batch)
+    assert out["status"].to_pylist() == ["error"]
+    assert out["data"].to_pylist() == [None]
+    assert out["error"][0].as_py()
+
+
+def test_png_recompress_deterministic():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 4, (32, 32, 4), dtype=np.uint8)
+    blob = encode_png(img)
+    batch = pa.Table.from_pydict({"data": [blob]})
+    out1 = png_recompress(9)(batch)["data"][0].as_py()
+    out2 = png_recompress(9)(batch)["data"][0].as_py()
+    assert out1 == out2
+    assert (decode_png(out1) == img).all()
+    assert len(out1) <= len(blob)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_error_budget():
+    stage = make_error_budget_stage(max_errors=2)
+    ok = pa.Table.from_pydict({"status": ["stored"] * 10})
+    bad = pa.Table.from_pydict({"status": ["error"] * 3})
+    stage(ok)
+    with pytest.raises(ErrorBudgetExceeded):
+        stage(bad)
+
+
+def test_shard_filter_partition():
+    batch = pa.Table.from_pydict(
+        {
+            "z": [0] * 20,
+            "x": [i * 8 for i in range(20)],
+            "y": [0] * 20,
+            "n": [8] * 20,
+        }
+    )
+    parts = [local_process_filter(2, p)(batch) for p in (0, 1)]
+    assert parts[0].num_rows + parts[1].num_rows == 20
+    assert parts[0].num_rows > 0 and parts[1].num_rows > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_manifest_and_server(tmp_path):
+    from tilecloud_chain_ray.pipelines.generate import generate_tiles
+
+    layer = point_layer()
+    wmts = str(tmp_path / "wmts")
+    pq_dir = str(tmp_path / "tiles_pq")
+    result = generate_tiles(layer, out_wmts=wmts, out_parquet=pq_dir, concurrency=(1, 2))
+
+    manifest_path = write_manifest(str(tmp_path), [layer], result.tiles)
+    doc = json.load(open(manifest_path))
+    lay = doc["layers"][0]
+    assert lay["name"] == "point_hash"
+    assert lay["grid"]["matrices"][0] == {"id": "0", "zoom": 0, "width": 19, "height": 13}
+    assert sum(lay["stored_tiles_per_zoom"].values()) == 8
+
+    # filesystem read API
+    r = get_tile_fs(wmts, layer, 0, 7, 5)  # col 7, row 5
+    assert r.status == 200 and r.data and r.content_type == "image/png"
+    assert get_tile_fs(wmts, layer, 0, 0, 0).status == 204
+    assert get_tile_fs(wmts, layer, 9, 0, 0).status == 400
+    assert get_tile_fs(wmts, layer, 0, 50, 0).status == 400
+
+    # parquet read API
+    server = ParquetTileServer(pq_dir)
+    hit = server.get_tile(0, 7, 5)
+    assert hit.status == 200 and hit.data == r.data
+    assert server.get_tile(0, 1, 1).status == 204
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pages_text_passthrough(tmp_path):
+    """Byte-identical text per url through the full pipeline (the
+    input_hint invariant), checked via crc join input <-> output."""
+    from tilecloud_chain_ray.sources.pages import synthesize_pages
+    from tilecloud_chain_ray.stages.geocode import make_geocoder
+    from tilecloud_chain_ray.stages.text import token_count_batch
+
+    src = str(tmp_path / "pages")
+    synthesize_pages(src, 2000, avg_html=256, rows_per_file=500)
+    in_crc = {}
+    import pyarrow.parquet as pq_mod
+
+    for f in sorted(os.listdir(src)):
+        t = pq_mod.read_table(os.path.join(src, f), columns=["url", "text"])
+        for u, x in zip(t["url"].to_pylist(), t["text"].to_pylist()):
+            in_crc[u] = zlib.crc32(x.encode())
+
+    out_dir = str(tmp_path / "out")
+    ds = ray.data.read_parquet(src)
+    ds = ds.map_batches(
+        make_geocoder(WEBMERC.bbox, key_column="url", cell_res=12), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    ds = ds.repartition(8, shuffle=True)  # force data movement
+    ds.write_parquet(out_dir)
+
+    out = ray.data.read_parquet(out_dir, columns=["url", "text"])
+    mismatches = 0
+    seen = 0
+    for batch in out.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for u, x in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
+            seen += 1
+            if in_crc[u] != zlib.crc32(x.encode()):
+                mismatches += 1
+    assert seen == 2000
+    assert mismatches == 0

@@ -128,24 +128,75 @@ def density_pyramid(
     from tilecloud_chain_ray.pipelines.generate import GenerateResult
 
     assert not layer.meta, "density tiles are rendered per-tile (meta=False)"
-    counts = cell_counts(geocoded, cell_col=cell_col)
-    tile_rows = tiles_with_pixels(pixel_rows_all_zooms(counts, zooms))
-    tile_rows = tile_rows.map_batches(
-        lambda b: b.append_column("layer", pa.array([layer.name] * b.num_rows, pa.string()))
-        .append_column("grid", pa.array([layer.grid.name] * b.num_rows, pa.string())),
-        batch_format="pyarrow",
+
+    # ONE pass over the raw rows: per-batch partial pixel counts for
+    # every zoom at once (np.unique combiner — only (z, tile, pixel,
+    # n) partials cross the wire), then ONE groupby whose map_groups
+    # both sums duplicate pixels and renders the PNG — no intermediate
+    # cell-count shuffle, no second group pass.
+    def pixel_partials(batch: pa.Table) -> pa.Table:
+        cells = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        res, cx, cy = cell_decode(cells)
+        zs, txs, tys, pcols, prows, ns = [], [], [], [], [], []
+        for zoom in zooms:
+            pixel_res = zoom + 8
+            shift = (res - pixel_res).astype(np.int64)
+            if (shift < 0).any():
+                raise ValueError(f"cell res coarser than pixel res {pixel_res}")
+            px = (cx >> shift).astype(np.uint64)
+            py = (cy >> shift).astype(np.uint64)
+            packed = (px << np.uint64(22)) | py  # fits: z+8 <= 22 bits
+            uniq, counts_ = np.unique(packed, return_counts=True)
+            upx = (uniq >> np.uint64(22)).astype(np.int64)
+            upy = (uniq & np.uint64((1 << 22) - 1)).astype(np.int64)
+            zs.append(np.full(len(uniq), zoom, dtype=np.int32))
+            txs.append(upx >> 8)
+            tys.append(upy >> 8)
+            pcols.append(upx & 255)
+            prows.append(upy & 255)
+            ns.append(counts_.astype(np.int64))
+        return pa.Table.from_pydict(
+            {
+                "z": pa.array(np.concatenate(zs), pa.int32()),
+                "tx": pa.array(np.concatenate(txs), pa.int64()),
+                "ty": pa.array(np.concatenate(tys), pa.int64()),
+                "pcol": pa.array(np.concatenate(pcols), pa.int64()),
+                "prow": pa.array(np.concatenate(prows), pa.int64()),
+                "n": pa.array(np.concatenate(ns), pa.int64()),
+            }
+        )
+
+    partials = geocoded.map_batches(
+        pixel_partials, batch_format="pyarrow", batch_size=65536
     )
 
     _, empty_tile = empty_signatures(layer)
 
     from tilecloud_chain_ray.util import process_cached
 
-    def render_fn(batch: pa.Table) -> pa.Table:
-        # cheap per-process state (color ramp) -> task-based stage
-        renderer = process_cached(("density_renderer", layer.name), lambda: DensityRenderer(layer))
-        return renderer(batch)
+    def collect_and_render(group: pd.DataFrame) -> pd.DataFrame:
+        renderer = process_cached(
+            ("density_renderer", layer.name), lambda: DensityRenderer(layer)
+        )
+        agg = group.groupby(["pcol", "prow"], as_index=False)["n"].sum()
+        tile = pa.Table.from_pydict(
+            {
+                "layer": pa.array([layer.name], pa.string()),
+                "grid": pa.array([layer.grid.name], pa.string()),
+                "z": pa.array([int(group["z"].iloc[0])], pa.int32()),
+                "x": pa.array([int(group["tx"].iloc[0])], pa.int64()),
+                "y": pa.array([int(group["ty"].iloc[0])], pa.int64()),
+                "n": pa.array([1], pa.int32()),
+                "pixel_cols": pa.array([agg["pcol"].tolist()], pa.list_(pa.int64())),
+                "pixel_rows": pa.array([agg["prow"].tolist()], pa.list_(pa.int64())),
+                "pixel_counts": pa.array([agg["n"].tolist()], pa.list_(pa.int64())),
+            }
+        )
+        return renderer(tile).to_pandas()
 
-    rendered = tile_rows.map_batches(render_fn, batch_format="pyarrow", batch_size=64)
+    rendered = partials.groupby(["z", "tx", "ty"]).map_groups(
+        collect_and_render, batch_format="pandas"
+    )
     tiles = rendered.map_batches(
         make_hash_dropper(layer.empty_tile or empty_tile, "dropped"),
         batch_format="pyarrow",

@@ -114,20 +114,26 @@ class MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch[self.key_col].to_numpy(zero_copy_only=False)
         texts = batch[self.text_col].to_pylist()
-        out_key, out_band, out_hash = [], [], []
+        n = len(texts)
         r = self.rows_per_band
-        for key, text in zip(keys, texts):
-            sig = self.mh.signature(text)
-            for b in range(self.bands):
-                chunk = sig[b * r : (b + 1) * r]
-                out_key.append(key)
-                out_band.append(b)
-                out_hash.append(zlib.crc32(chunk.tobytes()))
+        sigs = np.empty((n, self.mh.num_perm), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            sigs[i] = self.mh.signature(text)
+        # band hash: multiply-xor fold of each band's rows — fully
+        # vectorized over (docs x bands), no per-band Python
+        chunks = sigs.reshape(n, self.bands, r)
+        with np.errstate(over="ignore"):
+            folded = np.zeros((n, self.bands), dtype=np.uint64)
+            for j in range(r):
+                folded ^= chunks[:, :, j] * _SHINGLE_MULTS[j % 3] + np.uint64(j)
+        band_hash = (folded >> np.uint64(1)).astype(np.int64)  # keep positive int64
         return pa.Table.from_pydict(
             {
-                "key": pa.array(out_key, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
+                "key": pa.array(np.repeat(keys, self.bands), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n), pa.int32()
+                ),
+                "band_hash": pa.array(band_hash.ravel(), pa.int64()),
             }
         )
 
