@@ -75,6 +75,7 @@ def generate_tiles(
     render_batch_size: int = 8,
     auto_empty: bool = True,
     with_summary: bool = True,
+    test_n: int | None = None,
 ) -> GenerateResult:
     """Run the full pyramid generation for one layer.
 
@@ -85,7 +86,37 @@ def generate_tiles(
     downstream stages directly).
     """
     geoms = layer.geoms_per_zoom(cli_bbox=cli_bbox)
-    if role == "master":
+    if test_n is not None:
+        # --test N (reference __init__.py:2389-2391): take the first N
+        # (meta)tile coords in enumeration order.  Driver-side so the
+        # cut is deterministic regardless of block scheduling.
+        from itertools import islice
+
+        from tilecloud_chain_ray.coords import dense_intervals
+        from tilecloud_chain_ray.sources.enumerate import COORD_SCHEMA
+
+        zoom_list = list(zooms) if zooms is not None else layer.seed_zooms()
+        first = list(
+            islice(
+                (c for i in dense_intervals(layer, geoms, zoom_list) for c in i.coords()),
+                test_n,
+            )
+        )
+        coords = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "layer": [layer.name] * len(first),
+                    "grid": [layer.grid.name] * len(first),
+                    "z": pa.array([c.z for c in first], pa.int32()),
+                    "x": pa.array([c.x for c in first], pa.int64()),
+                    "y": pa.array([c.y for c in first], pa.int64()),
+                    "n": pa.array([c.n for c in first], pa.int32()),
+                },
+                schema=COORD_SCHEMA,
+            )
+        )
+        coords = add_geom_filter(coords, layer, geoms=geoms, concurrency=concurrency)
+    elif role == "master":
         coords = sparse_coord_dataset(layer, cli_bbox=cli_bbox, zooms=zooms, concurrency=concurrency)
     else:
         coords = dense_coord_dataset(layer, cli_bbox=cli_bbox, zooms=zooms)
@@ -158,4 +189,24 @@ def generate_tiles(
     summary = (
         summarize(tiles, layer.meta_size, layer.meta) if with_summary else {}
     )
+    return GenerateResult(tiles=tiles, summary=summary)
+
+
+def generate_tiles_multi_grid(
+    layers: Sequence[Layer],
+    **kwargs,
+) -> GenerateResult:
+    """Multi-grid layer run (§2.7): the reference concatenates a layer's
+    per-grid tile streams (``__init__.py:2182-2230``); here each grid is
+    one ``generate_tiles`` Dataset and the results union (the ``grid``
+    column distinguishes them).  Pass one ``Layer`` per grid (same name,
+    different ``grid``)."""
+    results = [
+        generate_tiles(layer, with_summary=False, **kwargs) for layer in layers
+    ]
+    tiles = results[0].tiles
+    if len(results) > 1:
+        tiles = tiles.union(*[r.tiles for r in results[1:]])
+    meta = layers[0].meta
+    summary = summarize(tiles, layers[0].meta_size, meta)
     return GenerateResult(tiles=tiles, summary=summary)

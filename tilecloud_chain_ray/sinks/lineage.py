@@ -91,3 +91,37 @@ def summarize_lineage(out_dir: str) -> dict[str, int | float]:
 
 def now() -> float:
     return time.time()
+
+
+def status_rollup(out_dir: str, top_errors: int = 5) -> dict:
+    """Queue/job status rollup (G3/J5): per-(status, zoom) partition
+    counts + the most recent errors, the analog of the PostgreSQL
+    ``GROUP BY job_id, zoom, status`` + row_number top-5 query
+    (``/root/reference/tilecloud_chain/store/postgresql.py:536-606``).
+    """
+    recs = list(load_records(out_dir).values())
+    by_key: dict[tuple[str, str, int], int] = {}
+    for r in recs:
+        for z in r.zooms:
+            key = (r.job_id, r.status, z)
+            by_key[key] = by_key.get(key, 0) + 1
+    errors = sorted(
+        (r for r in recs if r.status == "error"),
+        key=lambda r: r.finished_at,
+        reverse=True,
+    )[:top_errors]
+    done = [r for r in recs if r.status == "done"]
+    elapsed = sum(r.finished_at - r.started_at for r in done)
+    remaining = len([r for r in recs if r.status != "done"])
+    eta = (elapsed / len(done) * remaining) if done else None
+    return {
+        "counts": [
+            {"job_id": j, "status": s, "zoom": z, "partitions": c}
+            for (j, s, z), c in sorted(by_key.items())
+        ],
+        "recent_errors": [
+            {"partition_id": r.partition_id, "error": r.error, "finished_at": r.finished_at}
+            for r in errors
+        ],
+        "eta_seconds": eta,
+    }
