@@ -119,16 +119,19 @@ def q_tile_counts_per_zoom(sf_dir: str) -> pa.Table:
     partials = assigned.map_batches(per_zoom_partial, batch_format="pyarrow")
     tile_counts = partials.groupby(["z", "tx", "ty"]).aggregate(Sum("n", alias_name="n"))
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "z": [group["z"].iloc[0]],
-                "n_tiles": [len(group)],
-                "n_docs": [group["n"].sum()],
-            }
-        )
+    # second aggregation stays a pure vectorized aggregate: a z-14 zoom
+    # has ~10^8 distinct tiles — never materialize one zoom as a group
+    def tile_rows(batch: pa.Table) -> pa.Table:
+        out = batch.select(["z"])
+        return out.append_column(
+            "one", pa.array(np.ones(batch.num_rows, dtype=np.int64), pa.int64())
+        ).append_column("docs", batch["n"])
 
-    return tile_counts.groupby("z").map_groups(final, batch_format="pandas")
+    return (
+        tile_counts.map_batches(tile_rows, batch_format="pyarrow")
+        .groupby("z")
+        .aggregate(Sum("one", alias_name="n_tiles"), Sum("docs", alias_name="n_docs"))
+    )
 
 
 def q_cell_counts_r8(sf_dir: str) -> ray.data.Dataset:
@@ -295,13 +298,25 @@ def q_lineitem_pricing(sf_dir: str) -> ray.data.Dataset:
 def q_orders_topk(sf_dir: str) -> ray.data.Dataset:
     orders = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
 
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        # per-batch combiner: each group seen by the shuffle holds at
+        # most 5 rows per input block, not the whole priority class
+        df = batch.to_pandas()
+        g = (
+            df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            .groupby("o_orderpriority", as_index=False)
+            .head(5)
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     def topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(5)
         g = g.reset_index(drop=True)
         g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["o_orderpriority", "o_orderkey", "rnk"]]
 
-    return orders.groupby("o_orderpriority").map_groups(topk, batch_format="pandas")
+    partials = orders.map_batches(partial_topk, batch_format="pyarrow")
+    return partials.groupby("o_orderpriority").map_groups(topk, batch_format="pandas")
 
 
 def q_region_customers(sf_dir: str) -> ray.data.Dataset:
@@ -447,6 +462,23 @@ def q_embed_near_dup(sf_dir: str) -> ray.data.Dataset:
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = dedup_mod.embedding_near_dup(emb, threshold=0.9)
     return out.select_columns(["key_a", "key_b"])
+
+
+def q_knn_lsh(sf_dir: str) -> ray.data.Dataset:
+    """Approximate (LSH multi-probe) top-k — the ANN scale path."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(
+        (
+            (r["vec_id"], r["embedding"])
+            for r in emb.map_batches(
+                lambda b: b.filter(pc.less(b["vec_id"], 5)), batch_format="pyarrow"
+            ).take_all()
+        )
+    )
+    qids = np.array([r[0] for r in qrows])
+    qvecs = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    out = knn_mod.knn_lsh(emb, qvecs, k=5, key_col="vec_id", query_ids=qids)
+    return out.select_columns(["query_id", "vec_id", "rank"])
 
 
 def q_knn_cell_spatial(sf_dir: str) -> ray.data.Dataset:

@@ -78,6 +78,99 @@ def knn_brute(
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def knn_lsh(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 5,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: np.ndarray | None = None,
+    n_planes: int = 10,
+    probe_hamming: int = 1,
+    seed: int = 23,
+) -> ray.data.Dataset:
+    """Approximate top-k cosine via random-hyperplane LSH buckets — the
+    IVF-style scale path for similarity search.
+
+    Vectors bucket by the sign pattern of ``n_planes`` seeded
+    hyperplanes; each query probes its own bucket plus every bucket
+    within ``probe_hamming`` bit flips (multi-probe).  Scoring then runs
+    only on candidate rows: the per-batch filter drops non-candidates
+    *before* any matmul, so compute scales with the probed fraction
+    (~``sum_i C(n_planes, i) / 2**n_planes``), trading recall for
+    throughput — measure recall against :func:`knn_brute` (see
+    tests).  Same output schema as ``knn_brute``.
+    """
+    queries = np.asarray(queries, dtype=np.float64)
+    if query_ids is None:
+        query_ids = np.arange(len(queries))
+    rng = np.random.default_rng(seed)
+    # plane count independent of input dim is resolved lazily per batch;
+    # draw for the query dim (must match the data dim)
+    planes = rng.standard_normal((queries.shape[1], n_planes))
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True).clip(1e-12)
+    q_codes = ((qn @ planes) > 0).astype(np.uint32)
+    q_code_ints = (q_codes << np.arange(n_planes, dtype=np.uint32)[None, :]).sum(axis=1)
+
+    # multi-probe ring: all codes within probe_hamming flips of any query
+    probe: set[int] = set()
+    for code in q_code_ints.tolist():
+        probe.add(int(code))
+        if probe_hamming >= 1:
+            for b in range(n_planes):
+                c1 = code ^ (1 << b)
+                probe.add(int(c1))
+                if probe_hamming >= 2:
+                    for b2 in range(b + 1, n_planes):
+                        probe.add(int(c1 ^ (1 << b2)))
+    shared = ray.put((planes, qn, np.asarray(query_ids), np.array(sorted(probe), dtype=np.int64)))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        pl, q, qids, probe_codes = ray.get(shared)
+        vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True).clip(1e-12)
+        codes = ((vn @ pl) > 0).astype(np.uint32)
+        code_ints = (codes << np.arange(pl.shape[1], dtype=np.uint32)[None, :]).sum(axis=1)
+        cand = np.isin(code_ints.astype(np.int64), probe_codes)
+        if not cand.any():
+            return pa.Table.from_pydict(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        vn = vn[cand]
+        keys = keys[cand]
+        scores = vn @ q.T
+        kk = min(k, len(keys))
+        out_q, out_key, out_score = [], [], []
+        for j in range(q.shape[0]):
+            col = scores[:, j]
+            idx = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
+            out_q.extend([qids[j]] * len(idx))
+            out_key.extend(keys[idx].tolist())
+            out_score.extend(col[idx].tolist())
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                key_col: pa.array(out_key, pa.int64()),
+                "score": pa.array(out_score, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", key_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def knn_cell(
     ds: ray.data.Dataset,
     query_cells: list[int],
