@@ -81,3 +81,46 @@ def test_fail_then_resume(tmp_path):
         (3, 58, 70),
         (3, 78, 42),
     }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_density_resumable(tmp_path):
+    """Two-phase checkpointed density job: kill one shard, resume,
+    phase-1 partials are never recomputed; cell ranges in lineage."""
+    from tilecloud_chain_ray.config import Layer
+    from tilecloud_chain_ray.grid import WEBMERC
+    from tilecloud_chain_ray.pipelines.density_resumable import density_resumable
+    from tilecloud_chain_ray.sources.pages import synthesize_pages
+
+    pages = str(tmp_path / "pages")
+    synthesize_pages(pages, 3000, avg_html=128, rows_per_file=500)  # 6 shards
+    out = str(tmp_path / "density")
+    lay = Layer(name="pages_density", grid=WEBMERC, meta=False)
+
+    tiles, s1 = density_resumable(
+        pages, lay, out, zooms=(0, 1, 2), cell_res=12, fail_partitions={2}
+    )
+    assert tiles is None
+    assert s1["partitions_error"] == 1 and s1["partitions_done"] == 5
+
+    import os as _os
+    partials_dir = _os.path.join(out, "partials")
+    finish = {
+        pid: r.finished_at
+        for pid, r in lin.load_records(partials_dir).items()
+        if r.status == "done"
+    }
+
+    tiles, s2 = density_resumable(pages, lay, out, zooms=(0, 1, 2), cell_res=12)
+    assert s2["partitions_skipped"] == 5 and s2["partitions_error"] == 0
+    after = lin.load_records(partials_dir)
+    for pid, t in finish.items():
+        assert after[pid].finished_at == t, "phase-1 shard re-ran"
+        assert after[pid].cell_range is not None
+        assert after[pid].input_rows == 500
+
+    rows = tiles.take_all()
+    assert len(rows) > 0
+    # z0 single world tile counts every page
+    z0 = [r for r in rows if r["z"] == 0]
+    assert len(z0) == 1 and z0[0]["status"] == "stored"

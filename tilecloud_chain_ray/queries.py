@@ -482,7 +482,11 @@ def q_knn_lsh(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_knn_cell_spatial(sf_dir: str) -> ray.data.Dataset:
-    geocoded = _geocoded_docs(sf_dir)
+    # coarse cells (res 5: 32x32 over the bbox) so ring-2 disks hold
+    # enough candidates for k=5 at test scale
+    geocoded = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        make_geocoder(BBOX, "doc_id", cell_res=5), batch_format="pyarrow"
+    )
     first_cells = sorted({r["cell"] for r in geocoded.take(50)})[:3]
     return knn_mod.knn_cell(
         geocoded, [int(c) for c in first_cells], BBOX, k=5, ring=2, cell_col="cell"

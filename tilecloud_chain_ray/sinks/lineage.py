@@ -36,6 +36,7 @@ class LineageRecord:
     started_at: float
     finished_at: float
     error: str | None = None
+    cell_range: list[int] | None = None  # [min_cell, max_cell] of the input shard
 
 
 def lineage_dir(out_dir: str) -> str:

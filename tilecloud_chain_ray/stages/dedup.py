@@ -235,6 +235,9 @@ def verify_jaccard(
     via ``ray.put``; verification is then an embarrassingly parallel
     map over pairs.
     """
+    # pairs are consumed twice (key collection + verify) — pin the tiny
+    # result instead of re-executing the whole LSH chain
+    candidate_pairs = candidate_pairs.materialize()
     keys_needed = set()
     for row in candidate_pairs.take_all():
         keys_needed.add(row["key_a"])
