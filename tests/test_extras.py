@@ -171,3 +171,29 @@ def test_pages_text_passthrough(tmp_path):
                 mismatches += 1
     assert seen == 2000
     assert mismatches == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_error_list_roundtrip(tmp_path):
+    """status=error rows -> error.list file -> tiles_file source re-run."""
+    from tilecloud_chain_ray.sinks.error_list import write_error_list
+    from tilecloud_chain_ray.sources.tiles_file import tiles_file_dataset
+
+    tiles = ray.data.from_items(
+        [
+            {"z": 0, "x": 5, "y": 7, "n": 1, "status": "stored", "error": None},
+            {"z": 2, "x": 16, "y": 32, "n": 8, "status": "error", "error": "boom\nmultiline"},
+            {"z": 3, "x": 58, "y": 70, "n": 1, "status": "error", "error": "timeout"},
+        ]
+    )
+    path = str(tmp_path / "error.list")
+    n = write_error_list(tiles, path)
+    assert n == 2
+    lines = open(path).read().splitlines()
+    assert len(lines) == 2
+    assert all("#" in line for line in lines)
+    rerun = tiles_file_dataset(path, "point_hash", "swissgrid_5").take_all()
+    assert {(r["z"], r["x"], r["y"], r["n"]) for r in rerun} == {
+        (2, 16, 32, 8),
+        (3, 58, 70, 1),
+    }

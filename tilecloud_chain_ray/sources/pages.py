@@ -33,7 +33,7 @@ _VOCAB = (
     "page crawl web text index spatial join cell morton row column render "
     "vector raster layer grid bbox extent queue store cache lineage commit"
 ).split()
-_DUP_EVERY = 37  # every 37th row repeats the text of the row 37 earlier
+_DUP_EVERY = 37  # every 37th row repeats the previous row's text
 
 
 def _row_text(rng: np.random.Generator, n_words: int) -> str:
@@ -56,9 +56,14 @@ def pages_chunk(start: int, count: int, seed: int = 42, avg_html: int = 2048) ->
         rng = np.random.default_rng(seed * 1_000_003 + i)
         htmls.append(rng.integers(0, 256, int(rng.integers(avg_html // 2, avg_html * 2)), dtype=np.uint8).tobytes())
         if i >= _DUP_EVERY and i % _DUP_EVERY == 0:
-            # duplicate content under a different url (dedup fixture)
-            dup_rng = np.random.default_rng(seed * 1_000_003 + i - _DUP_EVERY)
-            dup_rng.integers(0, 256, int(dup_rng.integers(avg_html // 2, avg_html * 2)))
+            # duplicate content under a different url (dedup fixture):
+            # copy the PREVIOUS row (never itself a dup), replaying its
+            # rng consumption exactly (same dtypes!) so its text
+            # reproduces byte-identically
+            dup_rng = np.random.default_rng(seed * 1_000_003 + i - 1)
+            dup_rng.integers(
+                0, 256, int(dup_rng.integers(avg_html // 2, avg_html * 2)), dtype=np.uint8
+            )
             texts.append(_row_text(dup_rng, int(dup_rng.integers(20, 200))))
         else:
             texts.append(_row_text(rng, int(rng.integers(20, 200))))
