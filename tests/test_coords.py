@@ -10,6 +10,8 @@ Golden sources (/root/reference/tilecloud_chain/tests/test_generate.py):
 * dense non-meta z0: 247 tiles — :1743-1774
 """
 
+import pytest
+
 from tilecloud_chain_ray.config import EmptyHash, Layer
 from tilecloud_chain_ray.coords import (
     TileCoord,
@@ -184,3 +186,35 @@ def test_sparse_matches_dense_filter_for_meta_layer():
     sparse = set(sparse_metatilecoords(layer, geoms, layer.seed_zooms()))
     dense_kept = set(enumerate_filtered(layer))
     assert sparse <= dense_kept
+
+
+def test_near_bbox():
+    from tilecloud_chain_ray.coords import near_bbox
+
+    layer = make_point_layer()
+    bbox = near_bbox(layer, (600000, 200000), zoom=2, nb_tiles=128)
+    # 128 tiles / 64 per metatile = 2 metatiles -> sqrt ceil = 2 a side
+    span_mt = 8 * 256 * 20
+    assert bbox[2] - bbox[0] == pytest.approx(2 * span_mt)
+    assert bbox[3] - bbox[1] == pytest.approx(2 * span_mt)
+    # the window contains the position
+    assert bbox[0] <= 600000 <= bbox[2]
+    assert bbox[1] <= 200000 <= bbox[3]
+    # --near skips geometry sources (reference __init__.py:1777: geoms
+    # are not loaded when near is set) -> bbox-only layer: 2x2 metatiles
+    bare = make_point_layer(geometries=())
+    kept = enumerate_filtered(bare, cli_bbox=bbox, zooms=[2])
+    assert len(kept) == 4
+
+
+def test_geom_filter_optout():
+    layer = make_point_layer(geom_filter=False)
+    zooms = [0]
+    geoms = layer.geoms_per_zoom()
+    coords = [
+        c
+        for interval in dense_intervals(layer, geoms, zooms)
+        for c in interval.coords()
+    ]
+    kept = [c for c in coords if coord_passes_geom_filter(layer, geoms, c)]
+    assert kept == coords  # geom_filter: false keeps everything

@@ -275,6 +275,34 @@ def sparse_metatilecoords(
         yield from interval.coords()
 
 
+def near_bbox(
+    layer: Layer,
+    position: tuple[float, float],
+    zoom: int,
+    nb_tiles: int,
+) -> tuple[float, float, float, float]:
+    """``--near X Y`` window: a square of ~``nb_tiles`` tiles of
+    metatiles centred on the position (``/root/reference/
+    tilecloud_chain/__init__.py:1707-1742``): distances converted to
+    metatile units, ``ceil(sqrt(nb_tiles / meta_size^2))`` metatiles a
+    side, origin rounded to the nearest metatile."""
+    grid = layer.grid
+    resolution = grid.resolutions[zoom]
+    mt_to_m = layer.meta_size * grid.tile_size * resolution
+    mt_x = (position[0] - grid.bbox[0]) / mt_to_m
+    mt_y = (position[1] - grid.bbox[1]) / mt_to_m
+    nb_mt = nb_tiles / (layer.meta_size**2)
+    nb_sqrt = math.ceil(math.sqrt(nb_mt))
+    ox = round(mt_x - nb_sqrt / 2)
+    oy = round(mt_y - nb_sqrt / 2)
+    return (
+        grid.bbox[0] + ox * mt_to_m,
+        grid.bbox[1] + oy * mt_to_m,
+        grid.bbox[0] + (ox + nb_sqrt) * mt_to_m,
+        grid.bbox[1] + (oy + nb_sqrt) * mt_to_m,
+    )
+
+
 # ---------------------------------------------------------------------------
 # geometry filter predicate (per-coord semantics; vectorized stage wraps it)
 # ---------------------------------------------------------------------------
