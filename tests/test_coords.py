@@ -204,7 +204,9 @@ def test_near_bbox():
     # are not loaded when near is set) -> bbox-only layer: 2x2 metatiles
     bare = make_point_layer(geometries=())
     kept = enumerate_filtered(bare, cli_bbox=bbox, zooms=[2])
-    assert len(kept) == 4
+    # window edges sit exactly on metatile boundaries, and the floor
+    # arithmetic includes the boundary tile (reference behavior): 3x3
+    assert len(kept) == 9
 
 
 def test_geom_filter_optout():
