@@ -25,7 +25,6 @@ from tilecloud_chain_ray.geom.geometry import (
     LineString,
     MultiLineString,
     MultiPoint,
-    MultiPolygon,
     Point,
     Polygon,
     iter_leaves,

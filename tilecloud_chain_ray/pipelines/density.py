@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray
 
 from tilecloud_chain_ray.config import Layer
-from tilecloud_chain_ray.functions.cells import cell_decode, cell_id
+from tilecloud_chain_ray.functions.cells import cell_decode
 from tilecloud_chain_ray.sinks.wmts import WmtsWriter, summarize
 from tilecloud_chain_ray.stages.hashdrop import (
     empty_signatures,

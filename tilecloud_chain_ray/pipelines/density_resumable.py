@@ -169,8 +169,6 @@ def density_resumable(
         return None, summary
 
     # phase 2: assemble tiles from the committed partials
-    from ray.data.aggregate import Sum
-
     import pandas as pd
 
     from tilecloud_chain_ray.pipelines.density import DensityRenderer

@@ -18,7 +18,6 @@ from __future__ import annotations
 import os
 from typing import Sequence
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray

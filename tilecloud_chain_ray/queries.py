@@ -22,12 +22,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from tilecloud_chain_ray.functions.hashing import (
-    MICRO,
-    micro_from_ids,
-    micro_tile,
-    micro_to_map,
-)
+from tilecloud_chain_ray.functions.hashing import micro_from_ids, micro_tile
 from tilecloud_chain_ray.geom import box
 from tilecloud_chain_ray.grid import SWISSGRID_5
 from tilecloud_chain_ray.stages.geocode import make_geocoder

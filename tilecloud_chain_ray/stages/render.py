@@ -27,7 +27,7 @@ import ray
 
 from tilecloud_chain_ray.config import Layer
 from tilecloud_chain_ray.functions.png import encode_png
-from tilecloud_chain_ray.geom import Geometry, LineString, MultiPoint, Point, Polygon
+from tilecloud_chain_ray.geom import Geometry, LineString, Point, Polygon
 from tilecloud_chain_ray.geom.geometry import iter_leaves
 from tilecloud_chain_ray.geom.ops import points_in_polygon
 
