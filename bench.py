@@ -188,15 +188,18 @@ def scaling_workload(num_cpus: int) -> dict:
         )
         return stage(batch)
 
+    # branch point: keep only the 8-byte cell column pinned (6.4 MB for
+    # 800k pages) so the density branch doesn't re-read + re-geocode
     analyzed = geocoded.map_batches(analyze, batch_format="pyarrow", batch_size=4096)
     banded = analyzed.map_batches(band_fn, batch_format="pyarrow", batch_size=2048)
+    geo_cells = geocoded.select_columns(["cell"]).materialize()
     n_band_rows = banded.count()
     t_analysis = time.perf_counter() - t0
 
     t1 = time.perf_counter()
     layer = Layer(name="page_density", grid=WEBMERC, meta=False)
     result = density_pyramid(
-        geocoded.select_columns(["cell"]),
+        geo_cells,
         layer,
         zooms=[0, 1, 2, 3, 4, 5, 6],
         with_summary=False,

@@ -33,7 +33,14 @@ def micro_from_ids(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def micro_from_strings(values: pa.Array | list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """utf8 strings -> (ux, uy) via salted crc32 (deterministic, C speed)."""
+    """utf8 strings -> (ux, uy) via crc32 (deterministic, C speed).
+
+    The y hash prepends a salt to the *message* (a different crc INIT
+    value is useless: crc is affine, so same-length inputs would give
+    uy = ux ^ const and every point would land on a diagonal), and both
+    axes get a multiplicative finalizer to break crc's linearity in the
+    high bits.
+    """
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         values = values.to_pylist()
     ux = np.empty(len(values), dtype=np.uint64)
@@ -41,7 +48,9 @@ def micro_from_strings(values: pa.Array | list[str]) -> tuple[np.ndarray, np.nda
     for i, v in enumerate(values):
         b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
         ux[i] = zlib.crc32(b)
-        uy[i] = zlib.crc32(b, 0x9E3779B9)
+        uy[i] = zlib.crc32(b"\x9e\x37\x79\xb9" + b)
+    ux = (ux * np.uint64(UX_MULT)) & np.uint64(0xFFFFFFFF)
+    uy = (uy * np.uint64(UY_MULT) + np.uint64(UY_OFFSET)) & np.uint64(0xFFFFFFFF)
     return ux, uy
 
 

@@ -113,6 +113,88 @@ def tiles_with_pixels(pixel_counts: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def assemble_and_render_tiles(
+    partials: ray.data.Dataset, layer: Layer, n_buckets: int = 256
+) -> ray.data.Dataset:
+    """Pixel partial rows -> rendered tile rows.
+
+    The shuffle key is a *bucket* of the tile key, not the tile itself:
+    one group per tile would be ~10^5 tiny per-group Python calls that
+    Ray packs into a handful of sorted blocks (observed: effective
+    parallelism ~1).  With ``n_buckets`` salted groups, each map_groups
+    call sums + renders its whole bucket of tiles in a loop, the
+    per-call overhead amortizes, and parallelism = min(n_buckets,
+    cluster) regardless of sorted-block packing.
+    """
+    from tilecloud_chain_ray.util import process_cached
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tx = batch["tx"].to_numpy(zero_copy_only=False)
+        ty = batch["ty"].to_numpy(zero_copy_only=False)
+        bucket = (z * 1_000_003 + tx * 7919 + ty) % n_buckets
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    from tilecloud_chain_ray.functions.png import encode_png
+    from tilecloud_chain_ray.stages.render import layer_color, render_density_image
+
+    ts = layer.grid.tile_size
+    color = layer_color(layer.name)
+
+    def render_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # one numpy pass per bucket: sort rows by (z, tx, ty, pcol,
+        # prow), sum duplicate pixels with reduceat, slice per tile —
+        # no per-tile DataFrame/Table construction at all
+        z = df["z"].to_numpy().astype(np.int64)
+        tx = df["tx"].to_numpy().astype(np.int64)
+        ty = df["ty"].to_numpy().astype(np.int64)
+        pcol = df["pcol"].to_numpy().astype(np.int64)
+        prow = df["prow"].to_numpy().astype(np.int64)
+        n = df["n"].to_numpy().astype(np.int64)
+        # composite sort key: tile id then pixel id (all fields bounded)
+        tile_key = (z << np.int64(44)) | (tx << np.int64(22)) | ty
+        pix_key = (pcol << np.int64(8)) | prow
+        order = np.lexsort((pix_key, tile_key))
+        tile_key, pix_key, n = tile_key[order], pix_key[order], n[order]
+        z, tx, ty, pcol, prow = z[order], tx[order], ty[order], pcol[order], prow[order]
+        # collapse duplicate (tile, pixel) rows
+        full = (tile_key << np.int64(16)) | pix_key
+        newpix = np.flatnonzero(np.r_[True, full[1:] != full[:-1]])
+        sums = np.add.reduceat(n, newpix)
+        tile_key, pcol, prow = tile_key[newpix], pcol[newpix], prow[newpix]
+        z, tx, ty = z[newpix], tx[newpix], ty[newpix]
+        # tile boundaries over the deduped rows
+        starts = np.flatnonzero(np.r_[True, tile_key[1:] != tile_key[:-1]])
+        ends = np.r_[starts[1:], len(tile_key)]
+        out_z, out_x, out_y, blobs = [], [], [], []
+        for s, e in zip(starts, ends):
+            img = render_density_image(pcol[s:e], prow[s:e], sums[s:e], ts, color)
+            out_z.append(int(z[s]))
+            out_x.append(int(tx[s]))
+            out_y.append(int(ty[s]))
+            blobs.append(encode_png(img))
+        return pd.DataFrame(
+            {
+                "layer": layer.name,
+                "grid": layer.grid.name,
+                "z": np.array(out_z, dtype=np.int32),
+                "x": np.array(out_x, dtype=np.int64),
+                "y": np.array(out_y, dtype=np.int64),
+                "n": np.int32(1),
+                "data": blobs,
+                "content_type": "image/png",
+            }
+        )
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(render_bucket, batch_format="pandas")
+        .map_batches(lambda b: b.drop_columns(["bucket"]) if "bucket" in b.schema.names else b,
+                     batch_format="pyarrow")
+    )
+
+
 def density_pyramid(
     geocoded: ray.data.Dataset,
     layer: Layer,
@@ -171,32 +253,7 @@ def density_pyramid(
     )
 
     _, empty_tile = empty_signatures(layer)
-
-    from tilecloud_chain_ray.util import process_cached
-
-    def collect_and_render(group: pd.DataFrame) -> pd.DataFrame:
-        renderer = process_cached(
-            ("density_renderer", layer.name), lambda: DensityRenderer(layer)
-        )
-        agg = group.groupby(["pcol", "prow"], as_index=False)["n"].sum()
-        tile = pa.Table.from_pydict(
-            {
-                "layer": pa.array([layer.name], pa.string()),
-                "grid": pa.array([layer.grid.name], pa.string()),
-                "z": pa.array([int(group["z"].iloc[0])], pa.int32()),
-                "x": pa.array([int(group["tx"].iloc[0])], pa.int64()),
-                "y": pa.array([int(group["ty"].iloc[0])], pa.int64()),
-                "n": pa.array([1], pa.int32()),
-                "pixel_cols": pa.array([agg["pcol"].tolist()], pa.list_(pa.int64())),
-                "pixel_rows": pa.array([agg["prow"].tolist()], pa.list_(pa.int64())),
-                "pixel_counts": pa.array([agg["n"].tolist()], pa.list_(pa.int64())),
-            }
-        )
-        return renderer(tile).to_pandas()
-
-    rendered = partials.groupby(["z", "tx", "ty"]).map_groups(
-        collect_and_render, batch_format="pandas"
-    )
+    rendered = assemble_and_render_tiles(partials, layer)
     tiles = rendered.map_batches(
         make_hash_dropper(layer.empty_tile or empty_tile, "dropped"),
         batch_format="pyarrow",

@@ -169,9 +169,7 @@ def density_resumable(
         return None, summary
 
     # phase 2: assemble tiles from the committed partials
-    import pandas as pd
-
-    from tilecloud_chain_ray.pipelines.density import DensityRenderer
+    from tilecloud_chain_ray.pipelines.density import assemble_and_render_tiles
     from tilecloud_chain_ray.stages.hashdrop import (
         empty_signatures,
         finalize_tiles,
@@ -186,30 +184,7 @@ def density_resumable(
             if f.startswith("partials_") and f.endswith(".parquet")
         ]
     )
-
-    def collect_and_render(group: pd.DataFrame) -> pd.DataFrame:
-        renderer = process_cached(
-            ("density_renderer", layer.name), lambda: DensityRenderer(layer)
-        )
-        agg = group.groupby(["pcol", "prow"], as_index=False)["n"].sum()
-        tile = pa.Table.from_pydict(
-            {
-                "layer": pa.array([layer.name], pa.string()),
-                "grid": pa.array([layer.grid.name], pa.string()),
-                "z": pa.array([int(group["z"].iloc[0])], pa.int32()),
-                "x": pa.array([int(group["tx"].iloc[0])], pa.int64()),
-                "y": pa.array([int(group["ty"].iloc[0])], pa.int64()),
-                "n": pa.array([1], pa.int32()),
-                "pixel_cols": pa.array([agg["pcol"].tolist()], pa.list_(pa.int64())),
-                "pixel_rows": pa.array([agg["prow"].tolist()], pa.list_(pa.int64())),
-                "pixel_counts": pa.array([agg["n"].tolist()], pa.list_(pa.int64())),
-            }
-        )
-        return renderer(tile).to_pandas()
-
-    rendered = partials.groupby(["z", "tx", "ty"]).map_groups(
-        collect_and_render, batch_format="pandas"
-    )
+    rendered = assemble_and_render_tiles(partials, layer)
     _, empty_tile = empty_signatures(layer)
     tiles = rendered.map_batches(
         make_hash_dropper(layer.empty_tile or empty_tile, "dropped"), batch_format="pyarrow"

@@ -131,6 +131,34 @@ class GeometryRenderer:
         )
 
 
+def render_density_image(
+    cols: np.ndarray,
+    rows: np.ndarray,
+    counts: np.ndarray,
+    size_px: int,
+    color: np.ndarray,
+    log_scale: bool = True,
+) -> np.ndarray:
+    """Shade per-pixel counts into an RGBA image (shared by the
+    row-oriented DensityRenderer stage and the bucket assembler)."""
+    img = np.empty((size_px, size_px, 4), dtype=np.uint8)
+    img[:] = BACKGROUND
+    ok = (cols >= 0) & (cols < size_px) & (rows >= 0) & (rows < size_px)
+    if ok.any():
+        v = counts[ok].astype(np.float64)
+        shade = (
+            np.log1p(v) / np.log1p(max(v.max(), 1.0)) if log_scale else v / max(v.max(), 1.0)
+        )
+        px = np.empty((int(ok.sum()), 4), dtype=np.uint8)
+        px[:, :3] = (
+            BACKGROUND[:3].astype(np.float64) * (1 - shade[:, None])
+            + color[:3].astype(np.float64) * shade[:, None]
+        ).astype(np.uint8)
+        px[:, 3] = 255
+        img[rows[ok], cols[ok]] = px
+    return img
+
+
 class DensityRenderer:
     """Render page-density tiles from per-pixel cell counts.
 
@@ -152,22 +180,10 @@ class DensityRenderer:
         blobs = []
         for i in range(batch.num_rows):
             size_px = int(n_col[i]) * grid.tile_size + 2 * buffer_px
-            img = np.empty((size_px, size_px, 4), dtype=np.uint8)
-            img[:] = BACKGROUND
             cols = np.asarray(batch["pixel_cols"][i].as_py(), dtype=np.int64) + buffer_px
             rows = np.asarray(batch["pixel_rows"][i].as_py(), dtype=np.int64) + buffer_px
             counts = np.asarray(batch["pixel_counts"][i].as_py(), dtype=np.float64)
-            ok = (cols >= 0) & (cols < size_px) & (rows >= 0) & (rows < size_px)
-            if ok.any():
-                v = counts[ok]
-                shade = np.log1p(v) / np.log1p(max(v.max(), 1.0)) if self.log_scale else v / max(v.max(), 1.0)
-                px = np.empty((ok.sum(), 4), dtype=np.uint8)
-                px[:, :3] = (
-                    BACKGROUND[:3].astype(np.float64) * (1 - shade[:, None])
-                    + self.color[:3].astype(np.float64) * shade[:, None]
-                ).astype(np.uint8)
-                px[:, 3] = 255
-                img[rows[ok], cols[ok]] = px
+            img = render_density_image(cols, rows, counts, size_px, self.color, self.log_scale)
             blobs.append(encode_png(img))
         out = batch.drop_columns(["pixel_cols", "pixel_rows", "pixel_counts"])
         out = out.append_column("data", pa.array(blobs, pa.binary()))
