@@ -78,7 +78,9 @@ def test_load_reference_style_yaml():
     assert layer.empty_tile.size == 334
     assert layer.empty_tile.sha1.startswith("dd6cb459")
     assert layer.dimensions[0].name == "DATE"
-    assert isinstance(layer.geometries[0], MultiPoint)
+    from tilecloud_chain_ray.config import GeometrySource
+    assert isinstance(layer.geometries[0], GeometrySource)
+    assert isinstance(layer.geometries[0].geometry, MultiPoint)
     assert layer.seed_zooms() == [0, 1, 2, 3]
     # PostGIS source skipped with a warning
     assert any("live service" in w for w in loaded.warnings_)

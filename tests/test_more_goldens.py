@@ -169,3 +169,49 @@ def test_multi_grid_union():
         concurrency=(1, 2),
     )
     assert result.summary["tiles_stored"] == 12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multigeom_golden(tmp_path):
+    """Reference test_multigeom (test_generate.py:1026-1098): layer pp,
+    polygon geometry for coarse zooms, point geometry for resolutions
+    10..20 (per-source min/max_resolution), meta=false -> exactly 51
+    stored tiles."""
+    from tilecloud_chain_ray.config import GeometrySource
+    from tilecloud_chain_ray.geom import MultiPoint, Point
+    from tilecloud_chain_ray.grid import Grid
+
+    grid4 = Grid(
+        name="swissgrid_5",
+        resolutions=(100, 50, 20, 10),
+        bbox=(420000, 30000, 900000, 350000),
+        srs="EPSG:21781",
+    )
+    points = MultiPoint((Point(600000, 200000), Point(530000, 150000)))
+    layer = Layer(
+        name="pp",
+        grid=grid4,
+        geometries=(
+            GeometrySource(POLYGON),
+            GeometrySource(points, min_resolution=10, max_resolution=20),
+        ),
+        meta=False,
+        dimensions=(DATE,),
+    )
+    out = str(tmp_path / "tiles")
+    result = generate_tiles(layer, out_wmts=out, concurrency=(1, 2))
+    assert result.summary["tiles_generated"] == 51
+    assert result.summary["tiles_dropped"] == 0
+    assert result.summary["tiles_stored"] == 51
+    files = sorted(glob.glob(os.path.join(out, "**", "*.png"), recursive=True))
+    got = set()
+    for f in files:
+        parts = os.path.relpath(f, out).split(os.sep)
+        z, row, col = int(parts[-3]), int(parts[-2]), int(parts[-1].split(".")[0])
+        got.add((z, row, col))
+    expected = (
+        {(0, r, c) for r in range(5, 8) for c in range(4, 8)}
+        | {(1, r, c) for r in range(11, 16) for c in range(8, 15)}
+        | {(2, 29, 35), (2, 39, 21), (3, 78, 42), (3, 58, 70)}
+    )
+    assert got == expected

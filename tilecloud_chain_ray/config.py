@@ -46,12 +46,36 @@ class EmptyHash:
 
 
 @dataclass(frozen=True)
+class GeometrySource:
+    """One geometry source with optional resolution bounds.
+
+    Reference semantics (``__init__.py:1778-1806``): sources apply in
+    order and *replace* the per-zoom geometry for every zoom whose
+    resolution satisfies ``min_resolution <= r <= max_resolution``
+    (either bound optional) — the mechanism behind the multigeom
+    fixture (``tests/tilegeneration/test-multigeom.yaml``: polygon for
+    coarse zooms, points for fine ones).
+    """
+
+    geometry: Geometry
+    min_resolution: float | None = None
+    max_resolution: float | None = None
+
+    def matches(self, resolution: float) -> bool:
+        return (self.min_resolution is None or self.min_resolution <= resolution) and (
+            self.max_resolution is None or self.max_resolution >= resolution
+        )
+
+
+@dataclass(frozen=True)
 class Layer:
     """A tile layer: grid(s) + geometry sources + metatile settings."""
 
     name: str
     grid: Grid
-    geometries: tuple[Geometry, ...] = ()  # map-CRS geometries (PostGIS analog)
+    # plain Geometry entries form one unlimited source (union);
+    # GeometrySource entries apply in order with resolution bounds
+    geometries: tuple = ()  # tuple[Geometry | GeometrySource, ...]
     bbox: tuple[float, float, float, float] | None = None
     meta: bool = True
     meta_size: int = LAYER_META_SIZE_DEFAULT
@@ -98,16 +122,19 @@ class Layer:
 
         extent = cli_bbox or self.bbox or self.grid.bbox
         base = box(*extent)
-        all_zooms = zooms if zooms is not None else range(len(self.grid.resolutions))
+        all_zooms = list(zooms) if zooms is not None else list(range(len(self.grid.resolutions)))
         geoms: dict[int, Geometry] = {z: base for z in all_zooms}
-        if self.geometries:
-            merged: Geometry = (
-                self.geometries[0]
-                if len(self.geometries) == 1
-                else GeometryCollection(tuple(self.geometries))
-            )
+        plain = tuple(g for g in self.geometries if isinstance(g, Geometry))
+        sources = tuple(g for g in self.geometries if isinstance(g, GeometrySource))
+        if plain:
+            merged: Geometry = plain[0] if len(plain) == 1 else GeometryCollection(plain)
             clipped = clip_to_box(merged, extent)
             geoms = {z: clipped for z in all_zooms}
+        for src in sources:
+            clipped = clip_to_box(src.geometry, extent)
+            for z in all_zooms:
+                if src.matches(self.grid.resolutions[z]):
+                    geoms[z] = clipped
         return geoms
 
     def filter_px_buffer(self) -> float:

@@ -63,7 +63,15 @@ def load_config(path: str | None = None, text: str | None = None) -> LoadedConfi
         geometries = []
         for src in lay.get("geoms") or []:
             if "wkt" in src:
-                geometries.append(geometry_from_wkt(src["wkt"]))
+                from tilecloud_chain_ray.config import GeometrySource
+
+                geometries.append(
+                    GeometrySource(
+                        geometry_from_wkt(src["wkt"]),
+                        min_resolution=src.get("min_resolution"),
+                        max_resolution=src.get("max_resolution"),
+                    )
+                )
             else:
                 warns.append(
                     f"layer {name}: geometry source {sorted(src)} needs a live "

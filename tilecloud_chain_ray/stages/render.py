@@ -109,7 +109,11 @@ class GeometryRenderer:
     def __init__(self, layer: Layer, geoms_ref=None) -> None:
         self.layer = layer
         geoms = ray.get(geoms_ref) if isinstance(geoms_ref, ray.ObjectRef) else geoms_ref
-        self.geoms = list(geoms) if geoms is not None else list(layer.geometries)
+        raw = list(geoms) if geoms is not None else list(layer.geometries)
+        # unwrap GeometrySource entries: the renderer draws every
+        # source's data at every zoom (WMS renders all its layers; the
+        # per-resolution bounds only steer seeding geometry)
+        self.geoms = [getattr(g, "geometry", g) for g in raw]
         self.color = layer_color(layer.name)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
