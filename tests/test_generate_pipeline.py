@@ -132,3 +132,54 @@ def test_master_sparse_role(tmp_path):
     assert result.summary["tiles_stored"] == 384
     assert result.summary["metatiles_generated"] == 6
     assert result.summary["metatiles_dropped"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zoom_filter_single(tmp_path):
+    # --zoom 1 (test_generate.py:1218-1244): 1 metatile, 64 generated,
+    # 62 dropped, 2 stored at (1,11,14),(1,15,8)
+    layer = point_hash_layer()
+    result = generate_tiles(layer, zooms=[1], concurrency=(1, 2))
+    assert result.summary == {
+        "tiles_generated": 64,
+        "tiles_dropped": 62,
+        "tiles_stored": 2,
+        "metatiles_dropped": 0,
+        "metatiles_generated": 1,
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zoom_filter_range(tmp_path):
+    # --zoom 1-3 (test_generate.py:1246-1280): 9 metatiles, 4 dropped,
+    # 320 generated, 314 dropped, 6 stored
+    layer = point_hash_layer()
+    result = generate_tiles(layer, zooms=[1, 2, 3], concurrency=(1, 2))
+    assert result.summary == {
+        "tiles_generated": 320,
+        "tiles_dropped": 314,
+        "tiles_stored": 6,
+        "metatiles_dropped": 4,
+        "metatiles_generated": 9,
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_no_meta_dense_247(tmp_path):
+    # point_hash_no_meta (test_generate.py:1743-1774): no geoms -> full
+    # z0 matrix 247 tiles rendered; hash drop keeps the 2 point tiles
+    # reference layer has NO geoms config: enumeration covers the
+    # whole grid; the renderer still draws the point data (the WMS
+    # would) -> render_geometries decouples content from seeding
+    layer = Layer(
+        name="point_hash_no_meta",
+        grid=SWISSGRID_5,
+        meta=False,
+        dimensions=(DATE,),
+    )
+    result = generate_tiles(
+        layer, zooms=[0], concurrency=(1, 2), render_geometries=(POINTS,)
+    )
+    assert result.summary["tiles_generated"] == 247
+    assert result.summary["tiles_dropped"] == 245
+    assert result.summary["tiles_stored"] == 2

@@ -76,6 +76,7 @@ def generate_tiles(
     auto_empty: bool = True,
     with_summary: bool = True,
     test_n: int | None = None,
+    render_geometries=None,
 ) -> GenerateResult:
     """Run the full pyramid generation for one layer.
 
@@ -138,7 +139,9 @@ def generate_tiles(
     # only pays off for heavy state (see stages/pip_join.py).
     from tilecloud_chain_ray.util import process_cached
 
-    geoms_ref = ray.put(list(layer.geometries))
+    geoms_ref = ray.put(
+        list(render_geometries) if render_geometries is not None else list(layer.geometries)
+    )
     rkw = dict(renderer_kwargs or {})
 
     def render_fn(batch: pa.Table) -> pa.Table:
