@@ -208,3 +208,16 @@ def test_knn_lsh_recall():
         hits += len(b & a)
     recall = hits / 25
     assert recall >= 0.4  # multi-probe recall on random gaussian data
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_dedup_pairs_fast_path():
+    """The 3-execution driver path finds the same planted dups as the
+    staged candidates+verify pipeline."""
+    table = docs_with_dups()
+    ds = ray.data.from_arrow(table)
+    fast = dd.minhash_dedup_pairs(ds, threshold=0.99).to_pandas()
+    got = {(a, b) for a, b in zip(fast["key_a"], fast["key_b"])}
+    expected = {(i - 10, i) for i in range(10, 200, 10)}
+    assert expected <= got
+    assert (fast["jaccard"] >= 0.99).all()

@@ -441,9 +441,8 @@ def q_sessionize(sf_dir: str) -> ray.data.Dataset:
 
 def q_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    cand = dedup_mod.minhash_candidates(docs, concurrency=(1, 2))
-    verified = dedup_mod.verify_jaccard(cand, docs, threshold=0.8)
-    return verified.select_columns(["key_a", "key_b"])
+    pairs = dedup_mod.minhash_dedup_pairs(docs, threshold=0.8)
+    return pairs.select_columns(["key_a", "key_b"])
 
 
 def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:

@@ -221,6 +221,118 @@ def minhash_candidates(
     )
 
 
+def minhash_dedup_pairs(
+    ds: ray.data.Dataset,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 10_000,
+) -> ray.data.Dataset:
+    """End-to-end near-dup pairs in three dataset executions.
+
+    1. band signatures (materialized — small int rows),
+    2. hot-bucket aggregate (tiny result -> driver),
+    3. one pass over the corpus for candidate shingle sets.
+
+    Pair expansion and Jaccard verification happen on the driver: the
+    candidate set is bounded by actual duplication (and ``max_bucket``
+    guards pathological buckets), so this is the low-latency path; the
+    staged ``minhash_candidates`` + ``verify_jaccard`` pipeline is the
+    same algorithm with distributed pair expansion for dup-heavy
+    corpora.
+    """
+    from ray.data.aggregate import Count
+
+    banded = ds.map_batches(
+        lambda b: _band_cached(b, key_col, text_col, num_perm, bands),
+        batch_format="pyarrow",
+        batch_size=2048,
+    ).materialize()
+    hot = banded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="c"))
+    hot_keys = {(r["band"], r["band_hash"]) for r in hot.take_all() if r["c"] >= 2}
+    if not hot_keys:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "key_a": pa.array([], pa.int64()),
+                    "key_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    hot_ref = ray.put(hot_keys)
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        b = batch["band"].to_numpy(zero_copy_only=False)
+        h = batch["band_hash"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            ((int(bb), int(hh)) in hk for bb, hh in zip(b, h)), dtype=bool, count=len(b)
+        )
+        return batch.filter(pa.array(keep))
+
+    hot_rows = banded.map_batches(only_hot, batch_format="pyarrow").take_all()
+    buckets: dict[tuple, set] = {}
+    for r in hot_rows:
+        buckets.setdefault((r["band"], r["band_hash"]), set()).add(r["key"])
+    pairs = set()
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            continue  # pathological bucket: log-and-skip guard
+        ks = sorted(members)
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                pairs.add((ks[i], ks[j]))
+    if not pairs:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "key_a": pa.array([], pa.int64()),
+                    "key_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    keys_needed = sorted({k for p in pairs for k in p})
+    needed = ds.map_batches(
+        lambda b: b.filter(
+            pa.compute.is_in(b[key_col], value_set=pa.array(keys_needed))
+        ).select([key_col, text_col]),
+        batch_format="pyarrow",
+    ).take_all()
+    shingles = {r[key_col]: set(_shingle_hashes(r[text_col]).tolist()) for r in needed}
+    out_a, out_b, out_j = [], [], []
+    for a, b in sorted(pairs):
+        sa, sb = shingles.get(a, set()), shingles.get(b, set())
+        union = len(sa | sb)
+        j = len(sa & sb) / union if union else 0.0
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(j)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "key_a": pa.array(out_a, pa.int64()),
+                "key_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+    )
+
+
+def _band_cached(batch, key_col, text_col, num_perm, bands):
+    from tilecloud_chain_ray.util import process_cached
+
+    stage = process_cached(
+        ("minhash_band", key_col, text_col, num_perm, bands),
+        lambda: MinHashStage(key_col=key_col, text_col=text_col, num_perm=num_perm, bands=bands),
+    )
+    return stage(batch)
+
+
 def verify_jaccard(
     candidate_pairs: ray.data.Dataset,
     ds: ray.data.Dataset,
