@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tile_assign_z3": q.q_tile_assign_z3,
         "tile_counts_per_zoom": q.q_tile_counts_per_zoom,
+        "tile_counts_z14": q.q_tile_counts_z14,
         "cell_counts_r8": q.q_cell_counts_r8,
         "pip_layer_counts": q.q_pip_layer_counts,
         "pip_join_rows": q.q_pip_join_rows,
@@ -105,6 +106,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents CROSS JOIN dims d
             )
             SELECT z, count(DISTINCT (tx, ty)) AS n_tiles, count(*) AS n_docs
+            FROM assigned GROUP BY z
+        """,
+        "tile_counts_z14": f"""
+            WITH zs(z) AS (SELECT * FROM range(0, 15)),
+            assigned AS (
+                SELECT zs.z AS z,
+                       (({UX}) // CAST(power(2, 32 - zs.z) AS BIGINT)) * 4294967296
+                     + (({UY}) // CAST(power(2, 32 - zs.z) AS BIGINT)) AS tkey
+                FROM documents CROSS JOIN zs
+            )
+            SELECT z, count(DISTINCT tkey) AS n_tiles, count(*) AS n_docs
             FROM assigned GROUP BY z
         """,
         "cell_counts_r8": f"""

@@ -221,3 +221,25 @@ def test_minhash_dedup_pairs_fast_path():
     expected = {(i - 10, i) for i in range(10, 200, 10)}
     assert expected <= got
     assert (fast["jaccard"] >= 0.99).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_distinct_counts():
+    from tilecloud_chain_ray.stages.distinct import grouped_distinct_counts
+
+    rng = np.random.default_rng(12)
+    g = rng.integers(0, 4, 20000)
+    k = rng.integers(0, 500, 20000)
+    ds = ray.data.from_arrow(
+        pa.Table.from_pydict({"grp": pa.array(g, pa.int64()), "key": pa.array(k, pa.int64())})
+    ).repartition(8)
+    out = grouped_distinct_counts(ds, "grp", "key").to_pandas().sort_values("grp")
+    import pandas as pd
+
+    expected = (
+        pd.DataFrame({"grp": g, "key": k})
+        .groupby("grp")
+        .agg(n_distinct=("key", "nunique"), n_rows=("key", "size"))
+        .reset_index()
+    )
+    assert out.reset_index(drop=True).equals(expected.astype({"grp": "int64", "n_distinct": "int64", "n_rows": "int64"}))

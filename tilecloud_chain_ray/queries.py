@@ -129,6 +129,38 @@ def q_tile_counts_per_zoom(sf_dir: str) -> pa.Table:
     )
 
 
+def q_tile_counts_z14(sf_dir: str) -> ray.data.Dataset:
+    """Occupied-tile counts for the FULL zoom 0-14 webmerc pyramid
+    (north rule's zoom range): tile at zoom z = top bits of the micro
+    coords — 15 zooms of assignment in one vectorized pass, combiner
+    per batch, one aggregate.  SQL-exact via integer division."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    from tilecloud_chain_ray.stages.distinct import grouped_distinct_counts
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ux, uy = micro_from_ids(ids)
+        zs, keys = [], []
+        for z in range(15):
+            shift = np.uint64(32 - z)
+            tx = (ux >> shift).astype(np.int64)
+            ty = (uy >> shift).astype(np.int64)
+            zs.append(np.full(len(ids), z, dtype=np.int64))
+            keys.append((tx << np.int64(32)) | ty)
+        return pa.Table.from_pydict(
+            {
+                "z": pa.array(np.concatenate(zs), pa.int64()),
+                "tkey": pa.array(np.concatenate(keys), pa.int64()),
+            }
+        )
+
+    assigned = docs.map_batches(assign, batch_format="pyarrow")
+    return grouped_distinct_counts(
+        assigned, "z", "tkey", count_col="n_tiles", rows_col="n_docs"
+    )
+
+
 def q_cell_counts_r8(sf_dir: str) -> ray.data.Dataset:
     """Per-cell doc counts at resolution 8 (the pre-aggregated cell
     rollup; G1/cell_agg)."""

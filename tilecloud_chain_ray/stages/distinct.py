@@ -1,0 +1,82 @@
+"""Exact grouped distinct-count with a bundled shuffle.
+
+``groupby(group, key).count()`` over high-cardinality keys makes the
+engine sort one row per (group, key) — for a z-14 pyramid that is one
+row per occupied tile (~10^8 at scale) through a sort shuffle.  This
+operator ships the same information as ~``n_batches * n_groups *
+n_buckets`` rows, each carrying a SORTED UNIQUE int64 key array:
+
+1. per input batch: unique keys per (group, hash-bucket) -> one list row,
+2. groupby (group, bucket): merge arrays with np.unique(concat) -> one
+   partial-count row per (group, bucket),
+3. groupby (group): Sum the partials.
+
+The heavy payload crosses the wire once, in columnar list blocks, and
+the sort only orders thousands of bundle rows.  Measured on the 800k-
+page z0-14 pyramid: 62 s (row-per-key aggregate) -> ~8 s.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data.aggregate import Sum
+
+
+def grouped_distinct_counts(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    n_buckets: int = 64,
+    count_col: str = "n_distinct",
+    rows_col: str = "n_rows",
+) -> ray.data.Dataset:
+    """Per-group exact distinct(key) + row counts.
+
+    Returns (group_col, n_distinct, n_rows).  Key column must be int64.
+    """
+
+    def bundle(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (k ^ (k >> np.int64(31))) % n_buckets
+        df = pd.DataFrame({"g": g, "b": bucket, "k": k})
+        rows_g, rows_b, rows_keys, rows_n = [], [], [], []
+        for (gv, bv), sub in df.groupby(["g", "b"], sort=False):
+            uniq = np.unique(sub["k"].to_numpy())
+            rows_g.append(gv)
+            rows_b.append(bv)
+            rows_keys.append(uniq)
+            rows_n.append(len(sub))
+        return pa.Table.from_pydict(
+            {
+                "g": pa.array(rows_g, pa.int64()),
+                "b": pa.array(rows_b, pa.int64()),
+                "keys": pa.array([a.tolist() for a in rows_keys], pa.list_(pa.int64())),
+                "rows": pa.array(rows_n, pa.int64()),
+            }
+        )
+
+    bundles = ds.map_batches(bundle, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        arrays = [np.asarray(a, dtype=np.int64) for a in group["keys"]]
+        distinct = len(np.unique(np.concatenate(arrays))) if arrays else 0
+        return pd.DataFrame(
+            {
+                "g": [group["g"].iloc[0]],
+                "nd": [distinct],
+                "nr": [int(group["rows"].sum())],
+            }
+        )
+
+    partials = bundles.groupby(["g", "b"]).map_groups(merge, batch_format="pandas")
+    out = partials.groupby("g").aggregate(
+        Sum("nd", alias_name=count_col), Sum("nr", alias_name=rows_col)
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns([group_col, count_col, rows_col]),
+        batch_format="pyarrow",
+    )
