@@ -76,6 +76,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     benches = {
         "geocode_pip": lambda: q.q_pip_layer_counts(sf_dir),
         "tile_counts": lambda: q.q_tile_counts_per_zoom(sf_dir),
+        "pyramid_z14": lambda: q.q_tile_counts_z14(sf_dir),
         "cell_rollup": lambda: q.q_cell_counts_r8(sf_dir),
         "density_pyramid": lambda: q.q_density_tiles(sf_dir),
         "generate_point_hash": lambda: q.q_generate_point_hash(sf_dir),
