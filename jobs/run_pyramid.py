@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Cluster job entrypoint: `ray job submit -- python jobs/run_pyramid.py ...`
+
+Runs a pyramid generation (resumable, lineage-checkpointed) or a pages
+density job against a cluster.  On the sandbox single node it attaches
+to a local session; on a real cluster `ray.init(address="auto")`
+attaches to the running cluster the job was submitted to.
+
+Examples:
+  # reference-style geometry pyramid from a YAML config
+  ray job submit --working-dir . -- python jobs/run_pyramid.py \\
+      --config tilegeneration/config.yaml --layer point_hash \\
+      --out /data/pyramid --zooms 0-3
+
+  # pages density pyramid, checkpointed per input shard
+  ray job submit --working-dir . -- python jobs/run_pyramid.py \\
+      --pages /data/pages --out /data/density --zooms 0-8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def parse_zooms(text: str | None) -> list[int] | None:
+    if not text:
+        return None
+    out: set[int] = set()
+    for part in text.split(","):
+        if "-" in part:
+            a, b = part.split("-")
+            out.update(range(int(a), int(b) + 1))
+        else:
+            out.add(int(part))
+    return sorted(out)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", help="reference-style YAML config")
+    ap.add_argument("--layer", help="layer name from the config")
+    ap.add_argument("--pages", help="pages parquet dir (density mode)")
+    ap.add_argument("--out", required=True, help="output root")
+    ap.add_argument("--zooms", help="e.g. 0-3 or 0,2,5")
+    ap.add_argument("--bbox", nargs=4, type=float, help="minx miny maxx maxy")
+    ap.add_argument("--role", default="local", choices=["local", "master"])
+    ap.add_argument("--test", type=int, dest="test_n", help="first N (meta)tiles only")
+    ap.add_argument("--partition-size", type=int, default=256)
+    ap.add_argument("--job-id", default="job-1")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "auto"),
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    zooms = parse_zooms(args.zooms)
+
+    if args.pages:
+        from tilecloud_chain_ray.config import Layer
+        from tilecloud_chain_ray.grid import WEBMERC
+        from tilecloud_chain_ray.pipelines.density_resumable import density_resumable
+
+        layer = Layer(name="page_density", grid=WEBMERC, meta=False)
+        tiles, summary = density_resumable(
+            args.pages,
+            layer,
+            args.out,
+            zooms=tuple(zooms or range(9)),
+            job_id=args.job_id,
+            out_wmts=os.path.join(args.out, "wmts"),
+        )
+        if tiles is not None:
+            summary["tiles"] = tiles.count()
+        print(json.dumps(summary))
+        return
+
+    if not (args.config and args.layer):
+        ap.error("need --config + --layer, or --pages")
+    from tilecloud_chain_ray.config_yaml import load_config
+    from tilecloud_chain_ray.pipelines.resumable import generate_resumable
+
+    loaded = load_config(args.config)
+    layer = loaded.engine.layers[args.layer]
+    summary = generate_resumable(
+        layer,
+        args.out,
+        job_id=args.job_id,
+        zooms=zooms,
+        cli_bbox=tuple(args.bbox) if args.bbox else None,
+        max_coords_per_partition=args.partition_size,
+    )
+    print(json.dumps(summary))
+    if summary.get("partitions_error"):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

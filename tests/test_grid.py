@@ -124,3 +124,21 @@ def test_polygon_fixture_tiles():
     (x0, y0), (x1, y1) = [SWISSGRID_5.tile_index(0, *c) for c in corners]
     assert sorted([x0, x1]) == [4, 7]
     assert sorted([y0, y1]) == [5, 7]
+
+
+def test_webmerc_slippy_tile_golden():
+    """Known slippy-map tile addresses (public OSM formula)."""
+    import math
+
+    def slippy(lon, lat, z):
+        n = 2**z
+        x = int((lon + 180.0) / 360.0 * n)
+        lat_rad = math.radians(lat)
+        y = int((1.0 - math.asinh(math.tan(lat_rad)) / math.pi) / 2.0 * n)
+        return x, y
+
+    cases = [(13.4, 52.52, 10), (-74.006, 40.7128, 12), (151.2, -33.87, 8), (0.0, 0.0, 3)]
+    for lon, lat, z in cases:
+        mx, my = lonlat_to_webmercator(np.array([lon]), np.array([lat]))
+        got = WEBMERC.tile_index(z, float(mx[0]), float(my[0]))
+        assert got == slippy(lon, lat, z), (lon, lat, z)
