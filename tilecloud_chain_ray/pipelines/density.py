@@ -126,44 +126,68 @@ def assemble_and_render_tiles(
     per-call overhead amortizes, and parallelism = min(n_buckets,
     cluster) regardless of sorted-block packing.
     """
-    from tilecloud_chain_ray.util import process_cached
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tx = batch["tx"].to_numpy(zero_copy_only=False)
-        ty = batch["ty"].to_numpy(zero_copy_only=False)
-        bucket = (z * 1_000_003 + tx * 7919 + ty) % n_buckets
-        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
-
     from tilecloud_chain_ray.functions.png import encode_png
     from tilecloud_chain_ray.stages.render import layer_color, render_density_image
 
     ts = layer.grid.tile_size
     color = layer_color(layer.name)
 
+    # packed pixel key (uint64): z<<60 would overflow int64 at high z;
+    # uint64 keeps the full 44+16 bits exact
+    def _pack(z, tx, ty, pcol, prow):
+        tile_key = (
+            (z.astype(np.uint64) << np.uint64(44))
+            | (tx.astype(np.uint64) << np.uint64(22))
+            | ty.astype(np.uint64)
+        )
+        return (tile_key << np.uint64(16)) | (
+            pcol.astype(np.uint64) << np.uint64(8)
+        ) | prow.astype(np.uint64)
+
+    def bundle(batch: pa.Table) -> pa.Table:
+        # bundled shuffle (see stages/distinct.py): one row per bucket
+        # per input block carrying SORTED key/count arrays, so the sort
+        # orders thousands of bundles, not millions of pixel rows
+        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tx = batch["tx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ty = batch["ty"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pcol = batch["pcol"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        prow = batch["prow"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        full = _pack(z, tx, ty, pcol, prow)
+        bucket = ((full >> np.uint64(16)) % np.uint64(n_buckets)).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        bucket, full, n = bucket[order], full[order], n[order]
+        starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+        ends = np.r_[starts[1:], len(bucket)]
+        rows_b, rows_keys, rows_ns = [], [], []
+        for s, e in zip(starts, ends):
+            rows_b.append(int(bucket[s]))
+            rows_keys.append(full[s:e].astype(np.int64))
+            rows_ns.append(n[s:e])
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(rows_b, pa.int64()),
+                "keys": pa.array([a.tolist() for a in rows_keys], pa.list_(pa.int64())),
+                "ns": pa.array([a.tolist() for a in rows_ns], pa.list_(pa.int64())),
+            }
+        )
+
     def render_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # one numpy pass per bucket: sort rows by (z, tx, ty, pcol,
-        # prow), sum duplicate pixels with reduceat, slice per tile —
-        # no per-tile DataFrame/Table construction at all
-        z = df["z"].to_numpy().astype(np.int64)
-        tx = df["tx"].to_numpy().astype(np.int64)
-        ty = df["ty"].to_numpy().astype(np.int64)
-        pcol = df["pcol"].to_numpy().astype(np.int64)
-        prow = df["prow"].to_numpy().astype(np.int64)
-        n = df["n"].to_numpy().astype(np.int64)
-        # composite sort key: tile id then pixel id (all fields bounded)
-        tile_key = (z << np.int64(44)) | (tx << np.int64(22)) | ty
-        pix_key = (pcol << np.int64(8)) | prow
-        order = np.lexsort((pix_key, tile_key))
-        tile_key, pix_key, n = tile_key[order], pix_key[order], n[order]
-        z, tx, ty, pcol, prow = z[order], tx[order], ty[order], pcol[order], prow[order]
-        # collapse duplicate (tile, pixel) rows
-        full = (tile_key << np.int64(16)) | pix_key
+        full = np.concatenate([np.asarray(a, dtype=np.uint64) for a in df["keys"]])
+        n = np.concatenate([np.asarray(a, dtype=np.int64) for a in df["ns"]])
+        order = np.argsort(full, kind="stable")
+        full, n = full[order], n[order]
+        # collapse duplicate (tile, pixel) keys
         newpix = np.flatnonzero(np.r_[True, full[1:] != full[:-1]])
         sums = np.add.reduceat(n, newpix)
-        tile_key, pcol, prow = tile_key[newpix], pcol[newpix], prow[newpix]
-        z, tx, ty = z[newpix], tx[newpix], ty[newpix]
-        # tile boundaries over the deduped rows
+        full = full[newpix]
+        prow = (full & np.uint64(255)).astype(np.int64)
+        pcol = ((full >> np.uint64(8)) & np.uint64(255)).astype(np.int64)
+        tile_key = full >> np.uint64(16)
+        ty = (tile_key & np.uint64((1 << 22) - 1)).astype(np.int64)
+        tx = ((tile_key >> np.uint64(22)) & np.uint64((1 << 22) - 1)).astype(np.int64)
+        z = (tile_key >> np.uint64(44)).astype(np.int64)
         starts = np.flatnonzero(np.r_[True, tile_key[1:] != tile_key[:-1]])
         ends = np.r_[starts[1:], len(tile_key)]
         out_z, out_x, out_y, blobs = [], [], [], []
@@ -187,11 +211,13 @@ def assemble_and_render_tiles(
         )
 
     return (
-        partials.map_batches(add_bucket, batch_format="pyarrow")
+        partials.map_batches(bundle, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(render_bucket, batch_format="pandas")
-        .map_batches(lambda b: b.drop_columns(["bucket"]) if "bucket" in b.schema.names else b,
-                     batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.drop_columns(["bucket"]) if "bucket" in b.schema.names else b,
+            batch_format="pyarrow",
+        )
     )
 
 
