@@ -47,12 +47,12 @@ def make_hash_dropper(empty: EmptyHash | None, level: str):
         n_rows = batch.num_rows
         has_status = "status" in batch.schema.names
         statuses = batch["status"].to_pylist() if has_status else ["generated"] * n_rows
-        data = batch["data"] if "data" in batch.schema.names else None
+        blobs = batch["data"].to_pylist() if "data" in batch.schema.names else [None] * n_rows
         sizes = np.zeros(n_rows, dtype=np.int64)
         sha1s: list[str | None] = [None] * n_rows
         new_data: list[bytes | None] = [None] * n_rows
         for i in range(n_rows):
-            blob = data[i].as_py() if data is not None else None
+            blob = blobs[i]
             if blob is None or statuses[i] not in ("generated", None):
                 continue
             sizes[i] = len(blob)
@@ -77,12 +77,12 @@ def finalize_tiles(batch: pa.Table) -> pa.Table:
     """Stamp surviving rows 'stored' and add their sha1 column
     (the tiles-table schema of SURVEY.md §1.4)."""
     statuses = batch["status"].to_pylist()
-    data = batch["data"]
+    blobs = batch["data"].to_pylist()
     sha1s: list[str | None] = [None] * batch.num_rows
     for i in range(batch.num_rows):
-        if statuses[i] == "generated" and data[i].as_py() is not None:
+        if statuses[i] == "generated" and blobs[i] is not None:
             statuses[i] = "stored"
-            sha1s[i] = hashlib.sha1(data[i].as_py()).hexdigest()
+            sha1s[i] = hashlib.sha1(blobs[i]).hexdigest()
     cols = dict(zip(batch.schema.names, batch.columns))
     cols["status"] = pa.array(statuses, pa.string())
     cols["sha1"] = pa.array(sha1s, pa.string())
