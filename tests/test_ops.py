@@ -243,3 +243,68 @@ def test_grouped_distinct_counts():
         .reset_index()
     )
     assert out.reset_index(drop=True).equals(expected.astype({"grp": "int64", "n_distinct": "int64", "n_rows": "int64"}))
+
+
+def perturbed_docs(n=120, every=6, n_words=200, change=4):
+    """Every `every`-th doc is the previous doc with `change` words
+    swapped — a true NEAR duplicate (not exact)."""
+    rng = np.random.default_rng(77)
+    texts = []
+    for i in range(n):
+        if i % every == 0 and i > 0:
+            words = texts[i - 1].split()
+            idx = rng.integers(0, len(words), change)
+            for j in idx:
+                words[j] = f"sub{rng.integers(0, 999)}"
+            texts.append(" ".join(words))
+        else:
+            texts.append(" ".join(f"w{v}" for v in rng.integers(0, 5000, n_words)))
+    return pa.Table.from_pydict({"doc_id": list(range(n)), "text": texts})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_finds_near_dups_not_unrelated():
+    ds = ray.data.from_arrow(perturbed_docs())
+    pairs = dd.minhash_dedup_pairs(ds, threshold=0.8).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["key_a"], pairs["key_b"])}
+    planted = {(i - 1, i) for i in range(6, 120, 6)}
+    # near-dups: 4 of ~198 shingles changed -> jaccard ~0.94 >> 0.8;
+    # LSH recall at s=0.94 with 16 bands of 4 rows is ~1
+    assert len(planted & got) >= len(planted) - 1
+    # nothing unrelated: every found pair is a planted one
+    assert got <= planted
+    assert (pairs["jaccard"] >= 0.8).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_near_dups():
+    ds = ray.data.from_arrow(perturbed_docs(n_words=400, change=3))
+    out = dd.simhash_candidates(ds, max_hamming=6).to_pandas()
+    got = {(a, b) for a, b in zip(out["key_a"], out["key_b"])}
+    planted = {(i - 1, i) for i in range(6, 120, 6)}
+    # 3 of 400 words changed: simhash hamming stays small
+    assert len(planted & got) >= len(planted) // 2
+    assert got <= planted
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dup_planted():
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((300, 32)).astype(np.float32)
+    # plant: vec 100.. copies of vec 0..19 with tiny noise (cosine ~0.999)
+    planted = base.copy()
+    for j in range(20):
+        planted[100 + j] = base[j] + 0.02 * rng.standard_normal(32).astype(np.float32)
+    table = pa.Table.from_pydict(
+        {"vec_id": list(range(300)), "embedding": [v.tolist() for v in planted]}
+    )
+    ds = ray.data.from_arrow(table)
+    out = dd.embedding_near_dup(ds, threshold=0.95, n_planes=8).to_pandas()
+    got = {(a, b) for a, b in zip(out["key_a"], out["key_b"])}
+    expected = {(j, 100 + j) for j in range(20)}
+    # hyperplane LSH with 8 planes: near-identical vectors share the
+    # bucket with prob (1 - theta/pi)^8 ~ 0.93 -> expect most planted
+    assert len(expected & got) >= 12
+    assert (out["cosine"] >= 0.95).all()
+    # no false positives among random vectors
+    assert all(a in range(20) and b == a + 100 for a, b in got - expected) or got <= expected
