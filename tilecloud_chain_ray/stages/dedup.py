@@ -66,14 +66,28 @@ _SHINGLE_MULTS = (
 )
 
 
+_WORD_CRC_CACHE: dict[str, int] = {}
+
+
+def _word_crc(word: str) -> int:
+    h = _WORD_CRC_CACHE.get(word)
+    if h is None:
+        if len(_WORD_CRC_CACHE) > 1_000_000:
+            _WORD_CRC_CACHE.clear()  # bound worker memory on huge vocabularies
+        h = zlib.crc32(word.encode())
+        _WORD_CRC_CACHE[word] = h
+    return h
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingle hashes: per-word crc32 (C speed) combined by
-    position-salted multiply-xor (vectorized) — one crc per WORD, not
-    per shingle."""
+    """Word k-gram shingle hashes: per-word crc32 (cached — natural
+    text repeats words heavily) combined by position-salted
+    multiply-xor (vectorized) — one crc per DISTINCT word, not per
+    shingle."""
     words = text.split()
     if len(words) < k:
         return np.array([zlib.crc32(" ".join(words).encode())], dtype=np.uint64)
-    w = np.array([zlib.crc32(wd.encode()) for wd in words], dtype=np.uint64)
+    w = np.array([_word_crc(wd) for wd in words], dtype=np.uint64)
     n = len(w) - k + 1
     with np.errstate(over="ignore"):
         h = w[:n] * _SHINGLE_MULTS[0]
