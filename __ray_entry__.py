@@ -62,9 +62,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q.q_token_stats,
         "quality_hist": q.q_quality_hist,
         "events_tumbling": q.q_events_tumbling,
+        "events_sliding": q.q_events_sliding,
         "lineitem_pricing": q.q_lineitem_pricing,
         "orders_topk": q.q_orders_topk,
         "region_customers": q.q_region_customers,
+        "orders_lineitem_join": q.q_orders_lineitem_join,
         "anti_join_tiles": q.q_anti_join_tiles,
         "dimension_cross": q.q_dimension_cross,
         "tile_union_area_z2": q.q_tile_union_area_z2,
@@ -200,6 +202,15 @@ def oracle_sql() -> dict[str, str]:
                    max(value) AS vmax
             FROM events GROUP BY 1, 2
         """,
+        "events_sliding": """
+            WITH fanout AS (
+                SELECT event_type, epoch_us(ts) // 3600000000 AS window_start FROM events
+                UNION ALL
+                SELECT event_type, epoch_us(ts) // 3600000000 - 1 FROM events
+            )
+            SELECT event_type, window_start, count(*) AS n
+            FROM fanout GROUP BY 1, 2
+        """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    sum(l_quantity) AS sum_qty
@@ -213,6 +224,12 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
                 FROM orders
             ) WHERE rnk <= 5
+        """,
+        "orders_lineitem_join": """
+            SELECT o.o_orderpriority, count(*) AS n_lines,
+                   sum(l.l_quantity) AS sum_qty
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderpriority
         """,
         "region_customers": """
             SELECT r.r_name, count(*) AS n_customers

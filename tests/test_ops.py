@@ -308,3 +308,22 @@ def test_embedding_near_dup_planted():
     assert (out["cosine"] >= 0.95).all()
     # no false positives among random vectors
     assert all(a in range(20) and b == a + 100 for a, b in got - expected) or got <= expected
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_inner_left():
+    from tilecloud_chain_ray.stages.join import hash_join
+
+    left = ray.data.from_arrow(
+        pa.Table.from_pydict({"k": [1, 2, 3, 4], "a": ["w", "x", "y", "z"]})
+    )
+    right = ray.data.from_arrow(
+        pa.Table.from_pydict({"k": [2, 2, 3, 9], "b": [10, 11, 12, 13]})
+    )
+    inner = hash_join(left, right, on="k").to_pandas().sort_values(["k", "b"])
+    assert list(zip(inner["k"], inner["a"], inner["b"])) == [
+        (2, "x", 10), (2, "x", 11), (3, "y", 12),
+    ]
+    lj = hash_join(left, right, on="k", how="left").to_pandas()
+    assert len(lj) == 5  # 1,4 null-matched; 2 twice; 3 once
+    assert lj[lj["k"] == 1]["b"].isna().all()

@@ -315,6 +315,30 @@ def q_events_tumbling(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_events_sliding(sf_dir: str) -> ray.data.Dataset:
+    """Sliding windows (2 h wide, 1 h hop): each event lands in two
+    windows — windowing by fanout + one aggregate (§2.9 pattern)."""
+    events = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def windowed(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        types = batch["event_type"]
+        out_types = pa.concat_arrays(
+            [types.combine_chunks(), types.combine_chunks()]
+        )
+        win = np.concatenate([hour, hour - 1])  # window id = its start hour
+        return pa.Table.from_pydict(
+            {"event_type": out_types, "window_start": pa.array(win, pa.int64())}
+        )
+
+    return (
+        events.map_batches(windowed, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def q_lineitem_pricing(sf_dir: str) -> ray.data.Dataset:
     li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
     return li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -344,6 +368,24 @@ def q_orders_topk(sf_dir: str) -> ray.data.Dataset:
 
     partials = orders.map_batches(partial_topk, batch_format="pyarrow")
     return partials.groupby("o_orderpriority").map_groups(topk, batch_format="pandas")
+
+
+def q_orders_lineitem_join(sf_dir: str) -> ray.data.Dataset:
+    """Large x large partitioned hash join (orders ⋈ lineitem on
+    orderkey), then aggregate: per order-priority line counts and
+    quantity sums — the explicit bucketed-join scale pattern."""
+    from tilecloud_chain_ray.stages.join import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda b: b.rename_columns(["okey", "o_orderpriority"]), batch_format="pyarrow"
+    )
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda b: b.rename_columns(["okey", "l_quantity"]), batch_format="pyarrow"
+    )
+    joined = hash_join(orders, lineitem, on="okey", how="inner", n_buckets=32)
+    return joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_lines"), Sum("l_quantity", alias_name="sum_qty")
+    )
 
 
 def q_region_customers(sf_dir: str) -> ray.data.Dataset:

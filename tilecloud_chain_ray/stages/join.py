@@ -1,0 +1,96 @@
+"""Partitioned hash join for two LARGE datasets.
+
+The engine's other joins broadcast the small side (geometry, dims,
+key sets); when both sides are big, the portable Ray Data pattern is an
+explicit bucketed join (ray guide "Joins and lookups"): tag each side,
+bucket rows by ``hash(key) % B``, union the two tagged streams, group
+by bucket, and merge each bucket's sides with a pandas join.  Only the
+projected join columns should be fed in (project before joining).
+
+Ray's native ``Dataset.join`` (hash-partitioned) exists in recent
+releases; this implementation is version-portable and makes the
+partitioning/skew knobs explicit (``n_buckets``; salt hot keys by
+bumping it).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    how: str = "inner",
+    n_buckets: int = 64,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> ray.data.Dataset:
+    """Join two datasets on an int64 key column.
+
+    ``how``: inner | left.  Output columns: join key + both sides'
+    other columns (suffixed on collision).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(how)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            bucket = ((k * 0x9E3779B1) & 0x7FFFFFFF) % n_buckets
+            out = batch.append_column("__bucket", pa.array(bucket, pa.int64()))
+            return out.append_column(
+                "__side", pa.array(np.full(len(k), side, dtype=np.int8), pa.int8())
+            )
+
+        return fn
+
+    # union of tagged sides: schemas differ -> pad each side with the
+    # other side's columns as nulls so the union has one schema
+    left_cols = [c for c in left.schema().names if c != on]
+    right_cols = [c for c in right.schema().names if c != on]
+    collisions = set(left_cols) & set(right_cols)
+    lmap = {c: c + suffixes[0] if c in collisions else c for c in left_cols}
+    rmap = {c: c + suffixes[1] if c in collisions else c for c in right_cols}
+
+    def widen(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols: dict = {on: batch[on]}
+            if side == 0:
+                for c in left_cols:
+                    cols[lmap[c]] = batch[c]
+                for c in right_cols:
+                    cols[rmap[c]] = pa.nulls(n)
+            else:
+                for c in left_cols:
+                    cols[lmap[c]] = pa.nulls(n)
+                for c in right_cols:
+                    cols[rmap[c]] = batch[c]
+            cols["__bucket"] = batch["__bucket"]
+            cols["__side"] = batch["__side"]
+            return pa.Table.from_pydict(cols)
+
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pyarrow").map_batches(
+        widen(0), batch_format="pyarrow"
+    )
+    rt = right.map_batches(tag(1), batch_format="pyarrow").map_batches(
+        widen(1), batch_format="pyarrow"
+    )
+    both = lt.union(rt)
+
+    lcols_out = [lmap[c] for c in left_cols]
+    rcols_out = [rmap[c] for c in right_cols]
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lhs = group[group["__side"] == 0][[on, *lcols_out]]
+        rhs = group[group["__side"] == 1][[on, *rcols_out]]
+        merged = lhs.merge(rhs, on=on, how=how)
+        return merged
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
