@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_hist": q.q_quality_hist,
         "events_tumbling": q.q_events_tumbling,
         "events_sliding": q.q_events_sliding,
+        "asof_purchase_click": q.q_asof_purchase_click,
         "lineitem_pricing": q.q_lineitem_pricing,
         "orders_topk": q.q_orders_topk,
         "region_customers": q.q_region_customers,
@@ -201,6 +202,13 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS vmin,
                    max(value) AS vmax
             FROM events GROUP BY 1, 2
+        """,
+        "asof_purchase_click": """
+            SELECT p.event_id,
+                   epoch_us(c.ts) AS prev_click_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts > c.ts
         """,
         "events_sliding": """
             WITH fanout AS (

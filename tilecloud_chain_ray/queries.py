@@ -315,6 +315,34 @@ def q_events_tumbling(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_asof_purchase_click(sf_dir: str) -> ray.data.Dataset:
+    """As-of join: for each purchase event, the most recent STRICTLY
+    earlier click of the same user (SURVEY custom operator: as-of)."""
+    from tilecloud_chain_ray.stages.join import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    purchases = events.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    def clicks_fn(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["event_type"], "click")).select(["user_id", "ts"])
+        return f.append_column("click_us", f["ts"].cast(pa.int64()))
+
+    clicks = events.map_batches(clicks_fn, batch_format="pyarrow")
+    joined = asof_join(
+        purchases, clicks, key="user_id", ts="ts", right_cols=["click_us"], strict=True
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out = batch.select(["event_id"])
+        return out.append_column("prev_click_us", batch["r_click_us"].cast(pa.int64()))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_events_sliding(sf_dir: str) -> ray.data.Dataset:
     """Sliding windows (2 h wide, 1 h hop): each event lands in two
     windows — windowing by fanout + one aggregate (§2.9 pattern)."""

@@ -94,3 +94,70 @@ def hash_join(
         return merged
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    strict: bool = True,
+) -> ray.data.Dataset:
+    """As-of join: for each left row, the latest right row of the same
+    ``key`` with ``right.ts < left.ts`` (``strict``) or ``<=``.
+
+    SURVEY.md "custom operators" shape (a): bucket both sides by key
+    (groupby is the co-location), sort within the group, and run
+    ``pd.merge_asof`` per key group.  Assumes per-key history fits one
+    group — the standard as-of partitioning assumption; salt by time
+    range when a single key's history is huge.
+    """
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__side",
+                pa.array(np.full(batch.num_rows, side, dtype=np.int8), pa.int8()),
+            )
+
+        return fn
+
+    left_cols = [c for c in left.schema().names if c not in (key, ts)]
+
+    def widen(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols: dict = {key: batch[key], ts: batch[ts], "__side": batch["__side"]}
+            for c in left_cols:
+                cols[c] = batch[c] if side == 0 else pa.nulls(n)
+            for c in right_cols:
+                cols["r_" + c] = batch[c] if side == 1 else pa.nulls(n)
+            return pa.Table.from_pydict(cols)
+
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pyarrow").map_batches(
+        widen(0), batch_format="pyarrow"
+    )
+    rt = right.map_batches(tag(1), batch_format="pyarrow").map_batches(
+        widen(1), batch_format="pyarrow"
+    )
+    both = lt.union(rt)
+
+    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
+        lhs = group[group["__side"] == 0].sort_values(ts)
+        rhs = group[group["__side"] == 1].sort_values(ts)
+        if lhs.empty:
+            return lhs.drop(columns=["__side"])
+        rename = {"r_" + c: "r_" + c for c in right_cols}
+        merged = pd.merge_asof(
+            lhs[[key, ts, *left_cols]],
+            rhs[[ts, *rename]],
+            on=ts,
+            allow_exact_matches=not strict,
+            direction="backward",
+        )
+        return merged
+
+    return both.groupby(key).map_groups(merge_group, batch_format="pandas")
