@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": q.q_lang_stats,
         "lang_pred_counts": q.q_lang_pred_counts,
         "token_stats": q.q_token_stats,
+        "bpe_token_stats": q.q_bpe_token_stats,
         "quality_hist": q.q_quality_hist,
         "events_tumbling": q.q_events_tumbling,
         "events_sliding": q.q_events_sliding,
@@ -181,6 +182,11 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": r"""
             SELECT lang,
                    sum(len(regexp_split_to_array(trim(text), '\s+'))) AS sum_tokens
+            FROM documents GROUP BY lang
+        """,
+        "bpe_token_stats": r"""
+            SELECT lang,
+                   sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS sum_bpe_tokens
             FROM documents GROUP BY lang
         """,
         "quality_hist": r"""

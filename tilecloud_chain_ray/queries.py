@@ -274,6 +274,17 @@ def q_token_stats(sf_dir: str) -> ray.data.Dataset:
     return counted.groupby("lang").aggregate(Sum("n_tokens", alias_name="sum_tokens"))
 
 
+def q_bpe_token_stats(sf_dir: str) -> ray.data.Dataset:
+    from tilecloud_chain_ray.stages.text import bpe_token_count_batch
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    counted = docs.map_batches(
+        lambda b: bpe_token_count_batch(b).select(["lang", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+    )
+    return counted.groupby("lang").aggregate(Sum("n_bpe_tokens", alias_name="sum_bpe_tokens"))
+
+
 def q_quality_hist(sf_dir: str) -> ray.data.Dataset:
     docs = _read(sf_dir, "documents", ["text"])
 

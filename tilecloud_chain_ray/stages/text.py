@@ -40,6 +40,21 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", n)
 
 
+# GPT-2-style pretokenizer shape, ASCII-simplified so python re, Arrow
+# RE2 and DuckDB RE2 agree exactly: optional leading space + run of
+# letters | digits | other-non-space
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``n_bpe_tokens``: BPE-ish pretokenizer piece count.
+
+    SQL equivalent: ``len(regexp_extract_all(text, pattern))``.
+    """
+    n = pc.count_substring_regex(batch[text_col], BPE_TOKEN_PATTERN).cast(pa.int64())
+    return batch.append_column("n_bpe_tokens", n)
+
+
 def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append marker-count columns + ``lang_pred`` (argmax, tie -> first
     in en/de/fr/it order — reproducible in SQL with a CASE chain)."""
