@@ -264,33 +264,51 @@ def minhash_dedup_pairs(
         batch_format="pyarrow",
         batch_size=2048,
     ).materialize()
-    hot = banded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="c"))
-    hot_keys = {(r["band"], r["band_hash"]) for r in hot.take_all() if r["c"] >= 2}
-    if not hot_keys:
-        return ray.data.from_arrow(
-            pa.Table.from_pydict(
-                {
-                    "key_a": pa.array([], pa.int64()),
-                    "key_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
+
+    if banded.count() <= 2_000_000:
+        # small band table: one driver-side vectorized pass replaces the
+        # hot-bucket aggregate + filter executions entirely
+        tbl = pa.concat_tables(list(banded.iter_batches(batch_format="pyarrow")))
+        band_np = tbl["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hash_np = tbl["band_hash"].to_numpy(zero_copy_only=False)
+        key_np = tbl["key"].to_numpy(zero_copy_only=False)
+        composite = (band_np.astype(np.uint64) << np.uint64(48)) ^ hash_np.astype(np.uint64)
+        order = np.argsort(composite, kind="stable")
+        composite, key_np = composite[order], key_np[order]
+        starts = np.flatnonzero(np.r_[True, composite[1:] != composite[:-1]])
+        ends = np.r_[starts[1:], len(composite)]
+        buckets = {}
+        for s, e in zip(starts, ends):
+            if e - s >= 2:
+                buckets[int(composite[s])] = set(key_np[s:e].tolist())
+    else:
+        hot = banded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="c"))
+        hot_keys = {(r["band"], r["band_hash"]) for r in hot.take_all() if r["c"] >= 2}
+        if not hot_keys:
+            return ray.data.from_arrow(
+                pa.Table.from_pydict(
+                    {
+                        "key_a": pa.array([], pa.int64()),
+                        "key_b": pa.array([], pa.int64()),
+                        "jaccard": pa.array([], pa.float64()),
+                    }
+                )
             )
-        )
-    hot_ref = ray.put(hot_keys)
+        hot_ref = ray.put(hot_keys)
 
-    def only_hot(batch: pa.Table) -> pa.Table:
-        hk = ray.get(hot_ref)
-        b = batch["band"].to_numpy(zero_copy_only=False)
-        h = batch["band_hash"].to_numpy(zero_copy_only=False)
-        keep = np.fromiter(
-            ((int(bb), int(hh)) in hk for bb, hh in zip(b, h)), dtype=bool, count=len(b)
-        )
-        return batch.filter(pa.array(keep))
+        def only_hot(batch: pa.Table) -> pa.Table:
+            hk = ray.get(hot_ref)
+            b = batch["band"].to_numpy(zero_copy_only=False)
+            h = batch["band_hash"].to_numpy(zero_copy_only=False)
+            keep = np.fromiter(
+                ((int(bb), int(hh)) in hk for bb, hh in zip(b, h)), dtype=bool, count=len(b)
+            )
+            return batch.filter(pa.array(keep))
 
-    hot_rows = banded.map_batches(only_hot, batch_format="pyarrow").take_all()
-    buckets: dict[tuple, set] = {}
-    for r in hot_rows:
-        buckets.setdefault((r["band"], r["band_hash"]), set()).add(r["key"])
+        hot_rows = banded.map_batches(only_hot, batch_format="pyarrow").take_all()
+        buckets = {}
+        for r in hot_rows:
+            buckets.setdefault((r["band"], r["band_hash"]), set()).add(r["key"])
     pairs = set()
     for members in buckets.values():
         if len(members) > max_bucket:
