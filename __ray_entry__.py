@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_hist": q.q_quality_hist,
         "events_tumbling": q.q_events_tumbling,
         "events_sliding": q.q_events_sliding,
+        "events_range_join": q.q_events_range_join,
         "asof_purchase_click": q.q_asof_purchase_click,
         "lineitem_pricing": q.q_lineitem_pricing,
         "orders_topk": q.q_orders_topk,
@@ -208,6 +209,18 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS vmin,
                    max(value) AS vmax
             FROM events GROUP BY 1, 2
+        """,
+        "events_range_join": """
+            WITH ranges(lo, hi, week) AS (VALUES
+                (1704067200000000, 1704672000000000, 'week0'),
+                (1704672000000000, 1705276800000000, 'week1'),
+                (1705276800000000, 1705881600000000, 'week2'),
+                (1705881600000000, 1706486400000000, 'week3'),
+                (1706486400000000, 1707091200000000, 'week4'))
+            SELECT r.week, e.event_type, count(*) AS n
+            FROM events e JOIN ranges r
+              ON epoch_us(e.ts) >= r.lo AND epoch_us(e.ts) < r.hi
+            GROUP BY 1, 2
         """,
         "asof_purchase_click": """
             SELECT p.event_id,

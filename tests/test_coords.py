@@ -220,3 +220,16 @@ def test_geom_filter_optout():
     ]
     kept = [c for c in coords if coord_passes_geom_filter(layer, geoms, c)]
     assert kept == coords  # geom_filter: false keeps everything
+
+
+def test_layer_bbox_restricts_enumeration():
+    """Layer-level bbox (like point_webp's bbox in test-nosns.yaml)
+    clips the seeding geometry: only point2 remains inside."""
+    layer = make_point_layer(bbox=(420000, 30000, 600000, 150000), min_resolution_seed=None)
+    kept = enumerate_filtered(layer, zooms=[0])
+    # point2 (530000, 150000) sits on the bbox top edge (included);
+    # point1 (600000, 200000) is outside
+    assert len(kept) == 1
+    c = kept[0]
+    px, py = SWISSGRID_5.tile_index(0, 530000, 150000)
+    assert c.x <= px < c.x + 8 and c.y <= py < c.y + 8

@@ -354,6 +354,35 @@ def q_asof_purchase_click(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+# fixed week-ish intervals over the events ts range (us since epoch,
+# [lo, hi) half-open) — mirrored literally in the oracle SQL
+RANGE_WEEK_US = 7 * 24 * 3_600_000_000
+RANGE_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+RANGES = [
+    (RANGE_BASE_US + i * RANGE_WEEK_US, RANGE_BASE_US + (i + 1) * RANGE_WEEK_US, f"week{i}")
+    for i in range(5)
+]
+
+
+def q_events_range_join(sf_dir: str) -> ray.data.Dataset:
+    """Range join (broadcast interval table + searchsorted): events
+    tagged with their week band, counted per (band, event_type)."""
+    from tilecloud_chain_ray.stages.join import range_join
+
+    events = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return batch.append_column("ts_us", batch["ts"].cast(pa.int64()))
+
+    tagged = range_join(
+        events.map_batches(to_us, batch_format="pyarrow"),
+        RANGES,
+        value_col="ts_us",
+        out_col="week",
+    )
+    return tagged.groupby(["week", "event_type"]).aggregate(Count(alias_name="n"))
+
+
 def q_events_sliding(sf_dir: str) -> ray.data.Dataset:
     """Sliding windows (2 h wide, 1 h hop): each event lands in two
     windows — windowing by fanout + one aggregate (§2.9 pattern)."""

@@ -96,6 +96,41 @@ def hash_join(
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def range_join(
+    ds: ray.data.Dataset,
+    intervals: list[tuple[int, int, str]],
+    value_col: str,
+    out_col: str = "range_name",
+    keep_unmatched: bool = False,
+) -> ray.data.Dataset:
+    """Tag each row with the (non-overlapping, sorted) interval
+    containing ``value_col`` (半 [lo, hi) semantics).
+
+    The interval table is the broadcast small side: a sorted bound
+    array + ``np.searchsorted`` per batch — the range-join pattern of
+    SURVEY custom operators (no shuffle).
+    """
+    lows = np.array([iv[0] for iv in intervals], dtype=np.int64)
+    highs = np.array([iv[1] for iv in intervals], dtype=np.int64)
+    names = np.array([iv[2] for iv in intervals], dtype=object)
+    if not (lows[:-1] <= lows[1:]).all():
+        raise ValueError("intervals must be sorted by low bound")
+    shared = ray.put((lows, highs, names))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lo, hi, nm = ray.get(shared)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(lo, v, side="right") - 1
+        ok = (idx >= 0) & (v < hi[np.clip(idx, 0, len(hi) - 1)])
+        name_out = np.where(ok, nm[np.clip(idx, 0, len(nm) - 1)], None)
+        out = batch.append_column(out_col, pa.array(name_out.tolist(), pa.string()))
+        if keep_unmatched:
+            return out
+        return out.filter(pa.array(ok))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
