@@ -327,3 +327,16 @@ def test_hash_join_inner_left():
     lj = hash_join(left, right, on="k", how="left").to_pandas()
     assert len(lj) == 5  # 1,4 null-matched; 2 twice; 3 once
     assert lj[lj["k"] == 1]["b"].isna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_approx_distinct():
+    from tilecloud_chain_ray.stages.sketch import approx_distinct
+
+    rng = np.random.default_rng(15)
+    # 50k rows, ~20k distinct
+    keys = rng.integers(0, 20000, 50000)
+    ds = ray.data.from_arrow(pa.Table.from_pydict({"k": pa.array(keys, pa.int64())})).repartition(8)
+    est = approx_distinct(ds, "k", p=12)
+    exact = len(np.unique(keys))
+    assert abs(est - exact) / exact < 0.05  # p=12 -> ~1.6% std error

@@ -1,0 +1,67 @@
+"""Mergeable sketches: HyperLogLog approximate distinct count.
+
+The guide's sketch pattern: each batch emits ONE serialized sketch row;
+sketches merge associatively (register-wise max), so the reduce is a
+tiny tree regardless of input size — the approximate companion to
+``stages/distinct.grouped_distinct_counts`` for when exactness can be
+traded for a fixed-size shuffle (standard HyperLogLog, Flajolet et al.,
+public algorithm).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _hll_registers(keys: np.ndarray, p: int) -> np.ndarray:
+    """Dense HLL registers (2^p uint8) for int64 keys."""
+    m = 1 << p
+    # 64-bit mix (splitmix64 finalizer, public domain constants)
+    h = keys.astype(np.uint64)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    idx = (h & np.uint64(m - 1)).astype(np.int64)
+    w = h >> np.uint64(p)
+    # rank = position of first 1-bit in the remaining 64-p bits (1-based)
+    bits = 64 - p
+    rank = np.full(len(h), bits + 1, dtype=np.uint8)
+    found = np.zeros(len(h), dtype=bool)
+    for b in range(bits):
+        hit = ~found & (((w >> np.uint64(b)) & np.uint64(1)) == 1)
+        rank[hit] = b + 1
+        found |= hit
+    registers = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(registers, idx, rank)
+    return registers
+
+
+def _hll_estimate(registers: np.ndarray) -> float:
+    m = len(registers)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** (-registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range correction
+    return float(est)
+
+
+def approx_distinct(ds: ray.data.Dataset, col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col) (int64 column), ±~1.04/sqrt(2^p).
+
+    One fixed-size (2^p bytes) sketch row per block crosses the wire;
+    the merge is register-wise max on the driver.
+    """
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        keys = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        regs = _hll_registers(keys, p)
+        return pa.Table.from_pydict({"regs": pa.array([regs.tolist()], pa.list_(pa.uint8()))})
+
+    sketches = ds.map_batches(sketch_batch, batch_format="pyarrow")
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for row in sketches.iter_rows():
+        merged = np.maximum(merged, np.asarray(row["regs"], dtype=np.uint8))
+    return _hll_estimate(merged)
