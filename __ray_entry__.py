@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q.q_token_stats,
         "bpe_token_stats": q.q_bpe_token_stats,
         "quality_hist": q.q_quality_hist,
+        "quality_filter_counts": q.q_quality_filter_counts,
         "events_tumbling": q.q_events_tumbling,
         "events_sliding": q.q_events_sliding,
         "events_range_join": q.q_events_range_join,
@@ -201,6 +202,19 @@ def oracle_sql() -> dict[str, str]:
                           * (1.0 - n_upper / greatest(n_chars, 1.0)) * 10.0) AS BIGINT) AS bucket,
                    count(*) AS n
             FROM m GROUP BY 1
+        """,
+        "quality_filter_counts": r"""
+            WITH m AS (
+                SELECT lang,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_passing FROM m
+            WHERE least(n_tokens, 100) / 100.0
+                  * (1.0 - n_upper / greatest(n_chars, 1.0)) >= 0.5
+            GROUP BY lang
         """,
         "events_tumbling": """
             SELECT event_type,

@@ -364,6 +364,24 @@ RANGES = [
 ]
 
 
+def q_quality_filter_counts(sf_dir: str) -> ray.data.Dataset:
+    """Curation-filter composition: per-lang counts of documents whose
+    quality score clears 0.5 (the filter step of a training-data
+    pipeline, SQL-exact on the shared expression)."""
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def passing(batch: pa.Table) -> pa.Table:
+        scored = quality_score_batch(batch)
+        q = scored["quality"].to_numpy(zero_copy_only=False)
+        return batch.select(["lang"]).filter(pa.array(q >= 0.5))
+
+    return (
+        docs.map_batches(passing, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_passing"))
+    )
+
+
 def q_events_range_join(sf_dir: str) -> ray.data.Dataset:
     """Range join (broadcast interval table + searchsorted): events
     tagged with their week band, counted per (band, event_type)."""
