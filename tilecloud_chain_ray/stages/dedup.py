@@ -475,6 +475,50 @@ def simhash_candidates(
         return pd.DataFrame({"key_a": ks[ia][ok], "key_b": ks[ib][ok], "hamming": ham[ok]})
 
     hashed = hashed.materialize()  # reused by 4 block passes
+
+    if hashed.count() <= 2_000_000:
+        # small hash table: one driver-side pass over all 4 blockings
+        # (same shape as the minhash shortcut)
+        tbl = pa.concat_tables(list(hashed.iter_batches(batch_format="pyarrow")))
+        ks_all = tbl[key_col].to_numpy(zero_copy_only=False)
+        hs_all = tbl["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pair_ham: dict[tuple, int] = {}
+        for blk in range(4):
+            part = ((hs_all >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int64)
+            order = np.argsort(part, kind="stable")
+            sp, sk, sh = part[order], ks_all[order], hs_all[order]
+            starts = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]])
+            ends = np.r_[starts[1:], len(sp)]
+            for s, e in zip(starts, ends):
+                if e - s < 2:
+                    continue
+                ks = sk[s:e]
+                hs = sh[s:e]
+                o2 = np.argsort(ks, kind="stable")
+                ks, hs = ks[o2], hs[o2]
+                ia, ib = np.triu_indices(len(ks), k=1)
+                x = hs[ia] ^ hs[ib]
+                ham = np.zeros(len(x), dtype=np.int64)
+                v = x.copy()
+                for _ in range(64):
+                    ham += (v & np.uint64(1)).astype(np.int64)
+                    v >>= np.uint64(1)
+                ok = ham <= max_hamming
+                for a, b, hm in zip(ks[ia][ok], ks[ib][ok], ham[ok]):
+                    key = (int(a), int(b))
+                    if key not in pair_ham or pair_ham[key] > hm:
+                        pair_ham[key] = int(hm)
+        items = sorted(pair_ham.items())
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "key_a": pa.array([k[0] for k, _ in items], pa.int64()),
+                    "key_b": pa.array([k[1] for k, _ in items], pa.int64()),
+                    "hamming": pa.array([h for _, h in items], pa.int64()),
+                }
+            )
+        )
+
     parts = []
     for blk in range(4):
         col = f"simhash_b{blk}"
