@@ -165,7 +165,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "lang_stats": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
         """,
         "lang_pred_counts": f"""
@@ -183,12 +184,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": r"""
             SELECT lang,
-                   sum(len(regexp_split_to_array(trim(text), '\s+'))) AS sum_tokens
+                   CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sum_tokens
             FROM documents GROUP BY lang
         """,
         "bpe_token_stats": r"""
             SELECT lang,
-                   sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS sum_bpe_tokens
+                   CAST(sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS BIGINT) AS sum_bpe_tokens
             FROM documents GROUP BY lang
         """,
         "quality_hist": r"""
@@ -313,7 +314,7 @@ def oracle_sql() -> dict[str, str]:
                             ) > 600000000 THEN 1 ELSE 0 END AS new_session
                 FROM events
             )
-            SELECT user_id, sum(new_session) + 1 AS n_sessions
+            SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions
             FROM gaps GROUP BY user_id
         """,
     }

@@ -50,6 +50,11 @@ def main() -> None:
     ap.add_argument("--test", type=int, dest="test_n", help="first N (meta)tiles only")
     ap.add_argument("--partition-size", type=int, default=256)
     ap.add_argument("--job-id", default="job-1")
+    ap.add_argument(
+        "--cell-res",
+        type=int,
+        help="geocode cell resolution (density mode); default max(14, max_zoom+8)",
+    )
     args = ap.parse_args()
 
     import ray
@@ -72,11 +77,18 @@ def main() -> None:
         from tilecloud_chain_ray.pipelines.density_resumable import density_resumable
 
         layer = Layer(name="page_density", grid=WEBMERC, meta=False)
+        zs = tuple(zooms or range(9))
+        # pixel res = zoom + 8; the geocode cell res must be at least as
+        # fine or the density partials silently collapse (shift < 0).
+        cell_res = args.cell_res or max(14, max(zs) + 8)
+        if cell_res < max(zs) + 8:
+            ap.error(f"--cell-res {cell_res} too coarse for max zoom {max(zs)} (need >= zoom+8)")
         tiles, summary = density_resumable(
             args.pages,
             layer,
             args.out,
-            zooms=tuple(zooms or range(9)),
+            zooms=zs,
+            cell_res=cell_res,
             job_id=args.job_id,
             out_wmts=os.path.join(args.out, "wmts"),
         )

@@ -33,6 +33,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def assert_same_kinds(name: str, engine_df: pd.DataFrame, oracle_df: pd.DataFrame):
+    """The driver hashes raw values, so int-vs-float dtype divergence
+    (e.g. DuckDB HUGEINT -> float) breaks its hash even when values are
+    numerically equal.  Enforce matching dtype *kinds* column by column."""
+    for c in engine_df.columns:
+        ek, ok = engine_df[c].dtype.kind, oracle_df[c].dtype.kind
+        assert ek == ok, f"{name}.{c}: engine dtype kind {ek!r} vs oracle {ok!r}"
+
+
 def to_pandas(result) -> pd.DataFrame:
     import pyarrow as pa
     import ray
@@ -56,6 +65,7 @@ def test_query_matches_oracle(name):
         f"{name}: columns {list(engine_df.columns)} vs {list(oracle_df.columns)}"
     )
     assert len(engine_df) == len(oracle_df), f"{name}: {len(engine_df)} vs {len(oracle_df)} rows"
+    assert_same_kinds(name, engine_df, oracle_df)
     pd.testing.assert_frame_equal(engine_df, oracle_df, check_dtype=False, check_exact=True)
 
 

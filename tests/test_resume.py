@@ -124,3 +124,46 @@ def test_density_resumable(tmp_path):
     # z0 single world tile counts every page
     z0 = [r for r in rows if r["z"] == 0]
     assert len(z0) == 1 and z0[0]["status"] == "stored"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_density_resumable_rejects_too_fine_zoom(tmp_path):
+    """Guard: zoom+8 > cell_res must raise, not silently corrupt counts."""
+    from tilecloud_chain_ray.config import Layer
+    from tilecloud_chain_ray.grid import WEBMERC
+    from tilecloud_chain_ray.pipelines.density_resumable import density_resumable
+    from tilecloud_chain_ray.sources.pages import synthesize_pages
+
+    pages = str(tmp_path / "pages")
+    synthesize_pages(pages, 200, avg_html=64, rows_per_file=200)
+    lay = Layer(name="pages_density", grid=WEBMERC, meta=False)
+    with pytest.raises(ValueError):
+        density_resumable(
+            pages, lay, str(tmp_path / "d"), zooms=(0, 7), cell_res=12
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_density_pyramid_out_wmts(tmp_path):
+    """density_pyramid(out_wmts=...) writes a WMTS layout a tile can be
+    read back from (regression: missing process_cached import)."""
+    import ray
+
+    from tilecloud_chain_ray.config import Layer
+    from tilecloud_chain_ray.grid import WEBMERC
+    from tilecloud_chain_ray.pipelines.density import density_pyramid
+    from tilecloud_chain_ray.server import get_tile_fs
+    from tilecloud_chain_ray.stages.geocode import make_geocoder
+
+    docs = ray.data.range(2000).map_batches(
+        lambda b: b.rename_columns(["doc_id"]), batch_format="pyarrow"
+    ).map_batches(
+        make_geocoder(WEBMERC.bbox, "doc_id", cell_res=12), batch_format="pyarrow"
+    )
+    lay = Layer(name="doc_density", grid=WEBMERC, meta=False)
+    wmts = str(tmp_path / "wmts")
+    result = density_pyramid(docs, lay, zooms=[0, 1], out_wmts=wmts)
+    stored = [r for r in result.tiles.take_all() if r["status"] == "stored"]
+    assert stored, "no tiles stored"
+    resp = get_tile_fs(wmts, lay, 0, 0, 0)
+    assert resp.status == 200 and resp.data and resp.data[:8] == b"\x89PNG\r\n\x1a\n"

@@ -288,6 +288,8 @@ def density_pyramid(
     if out_wmts is not None:
 
         def write_fn(batch: pa.Table) -> pa.Table:
+            from tilecloud_chain_ray.util import process_cached
+
             writer = process_cached(
                 ("wmts_writer", layer.name, out_wmts), lambda: WmtsWriter(layer, out_wmts)
             )

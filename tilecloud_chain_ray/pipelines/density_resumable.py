@@ -52,6 +52,11 @@ def _phase1_partition(
         for zoom in zooms:
             pixel_res = zoom + 8
             shift = (res - pixel_res).astype(np.int64)
+            if (shift < 0).any():
+                raise ValueError(
+                    f"cell res {int(res.max())} coarser than pixel res {pixel_res} "
+                    f"(need zoom <= cell_res - 8); requested zooms {zooms}"
+                )
             px = (cx >> shift).astype(np.uint64)
             py = (cy >> shift).astype(np.uint64)
             packed = (px << np.uint64(22)) | py
@@ -133,6 +138,12 @@ def density_resumable(
 ):
     """Run (or resume) the checkpointed density job; returns
     (tiles_dataset, summary)."""
+    bad = [z for z in zooms if z + 8 > cell_res]
+    if bad:
+        raise ValueError(
+            f"zooms {bad} need pixel res > cell_res {cell_res}; "
+            f"use cell_res >= {max(zooms) + 8} or drop zooms above {cell_res - 8}"
+        )
     shards = sorted(
         os.path.join(pages_dir, f)
         for f in os.listdir(pages_dir)

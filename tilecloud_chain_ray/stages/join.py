@@ -39,8 +39,8 @@ def hash_join(
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
-            k = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
-            bucket = ((k * 0x9E3779B1) & 0x7FFFFFFF) % n_buckets
+            k = batch[on].to_numpy(zero_copy_only=False).astype(np.uint64)
+            bucket = (((k * np.uint64(0x9E3779B1)) & np.uint64(0x7FFFFFFF)) % np.uint64(n_buckets)).astype(np.int64)
             out = batch.append_column("__bucket", pa.array(bucket, pa.int64()))
             return out.append_column(
                 "__side", pa.array(np.full(len(k), side, dtype=np.int8), pa.int8())
@@ -158,7 +158,17 @@ def asof_join(
 
         return fn
 
-    left_cols = [c for c in left.schema().names if c not in (key, ts)]
+    left_schema = left.schema()
+    left_cols = [c for c in left_schema.names if c not in (key, ts)]
+    # The null-padded union makes every left column nullable, so pandas
+    # upcasts ints to float64 inside merge_group; remember which left
+    # columns are integral so we can cast them back (they come from real
+    # left rows and are never null).
+    int_left = {
+        c
+        for c, t in zip(left_schema.names, left_schema.types)
+        if c in left_cols and pa.types.is_integer(t)
+    }
 
     def widen(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -193,6 +203,8 @@ def asof_join(
             allow_exact_matches=not strict,
             direction="backward",
         )
+        for c in int_left:
+            merged[c] = merged[c].astype(np.int64)
         return merged
 
     return both.groupby(key).map_groups(merge_group, batch_format="pandas")
