@@ -156,3 +156,17 @@ def test_strtree_small_and_empty():
     tree = STRtree(np.array([[0.0, 0.0, 1.0, 1.0]]))
     assert tree.query(0.5, 0.5, 2, 2).tolist() == [0]
     assert tree.query(5, 5, 6, 6).tolist() == []
+
+
+def test_clip_to_box_inside_donut_hole_is_empty():
+    """A clip box entirely inside a polygon hole must yield EMPTY (the
+    true intersection), not a shell==hole box polygon."""
+    donut = Polygon(
+        [(0, 0), (100, 0), (100, 100), (0, 100), (0, 0)],
+        holes=[[(20, 20), (80, 20), (80, 80), (20, 80), (20, 20)]],
+    )
+    out = clip_to_box(donut, (40, 40, 60, 60))
+    assert out.is_empty
+    # a box straddling the hole edge still intersects
+    out2 = clip_to_box(donut, (10, 10, 30, 30))
+    assert not out2.is_empty

@@ -58,6 +58,49 @@ def test_minhash_finds_exact_dups():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_distributed_path_matches_driver():
+    """The distributed pair-expansion + bucketed sig join must produce
+    the same verified pairs as the driver shortcut (no take_all on a
+    duplication-proportional dataset)."""
+    table = docs_with_dups()
+    ds = ray.data.from_arrow(table)
+    fast = dd.minhash_dedup_pairs(ds, threshold=0.8).to_pandas()
+    dist = dd.minhash_dedup_pairs(ds, threshold=0.8, force_distributed=True).to_pandas()
+    fp = {(a, b) for a, b in zip(fast["key_a"], fast["key_b"])}
+    dp = {(a, b) for a, b in zip(dist["key_a"], dist["key_b"])}
+    assert fp == dp and len(fp) > 0
+    fj = dict(zip(zip(fast["key_a"], fast["key_b"]), fast["jaccard"]))
+    dj = dict(zip(zip(dist["key_a"], dist["key_b"]), dist["jaccard"]))
+    for k in fp:
+        assert abs(fj[k] - dj[k]) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_verify_jaccard_distributed_matches_broadcast():
+    table = docs_with_dups()
+    ds = ray.data.from_arrow(table)
+    cand = dd.minhash_candidates(ds, concurrency=(1, 2)).materialize()
+    broad = dd.verify_jaccard(cand, ds, threshold=0.9).to_pandas()
+    dist = dd.verify_jaccard(
+        cand, ds, threshold=0.9, small_table_max_bytes=0
+    ).to_pandas()
+    bp = {(a, b) for a, b in zip(broad["key_a"], broad["key_b"])}
+    dp = {(a, b) for a, b in zip(dist["key_a"], dist["key_b"])}
+    assert bp == dp and len(bp) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_distributed_path_matches_driver():
+    table = docs_with_dups(100)
+    ds = ray.data.from_arrow(table)
+    fast = dd.simhash_candidates(ds, max_hamming=3).to_pandas()
+    dist = dd.simhash_candidates(ds, max_hamming=3, force_distributed=True).to_pandas()
+    fp = {(a, b, h) for a, b, h in zip(fast["key_a"], fast["key_b"], fast["hamming"])}
+    dp = {(a, b, h) for a, b, h in zip(dist["key_a"], dist["key_b"], dist["hamming"])}
+    assert fp == dp and len(fp) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_simhash_finds_exact_dups():
     table = docs_with_dups(100)
     ds = ray.data.from_arrow(table)

@@ -333,6 +333,12 @@ def _clip_ring_sh(ring: np.ndarray, b: Box) -> np.ndarray | None:
     return np.asarray(dedup + [dedup[0]], dtype=np.float64)
 
 
+def _ring_signed_area(ring: np.ndarray) -> float:
+    """Shoelace signed area of a closed ring (n, 2) array."""
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
 def clip_to_box(geometry: Geometry, b: Box) -> Geometry:
     """``geometry.intersection(box(b))`` for the supported types.
 
@@ -384,9 +390,16 @@ def clip_to_box(geometry: Geometry, b: Box) -> Geometry:
         if shell is None:
             return EMPTY
         holes = []
+        shell_area = abs(_ring_signed_area(shell))
         for hole in geometry.holes:
             clipped = _clip_ring_sh(hole, b)
             if clipped is not None:
+                # box entirely inside a hole: both shell and hole clip to
+                # the full box — the true intersection is empty, and
+                # emitting (shell == hole) would make sparse enumeration
+                # yield tiles across donut holes the reference skips
+                if abs(_ring_signed_area(clipped)) >= shell_area - 1e-9:
+                    return EMPTY
                 holes.append(clipped)
         return Polygon(shell, holes)
     geoms = getattr(geometry, "geoms", None)

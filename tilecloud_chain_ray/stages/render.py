@@ -45,7 +45,17 @@ def render_geometries(
     size: tuple[int, int],
     color: np.ndarray,
 ) -> np.ndarray:
-    """Rasterize geometries into an RGBA image over ``extent``.
+    """Rasterize geometries into an RGBA image over ``extent``."""
+    return render_leaves(list(iter_leaves_all(geoms)), extent, size, color)
+
+
+def render_leaves(
+    leaves: list[Geometry],
+    extent: tuple[float, float, float, float],
+    size: tuple[int, int],
+    color: np.ndarray,
+) -> np.ndarray:
+    """Rasterize leaf geometries into an RGBA image over ``extent``.
 
     Pixel (row 0, col 0) is the top-left; pixel centers sample the map.
     """
@@ -61,7 +71,7 @@ def render_geometries(
         row = np.floor((maxy - np.asarray(my)) / resy).astype(np.int64)
         return col, row
 
-    for leaf in iter_leaves_all(geoms):
+    for leaf in leaves:
         if isinstance(leaf, Point):
             col, row = to_px(leaf.x, leaf.y)
             if 0 <= col < width and 0 <= row < height:
@@ -107,6 +117,8 @@ class GeometryRenderer:
     """Render each (meta)tile coord row from the layer geometries."""
 
     def __init__(self, layer: Layer, geoms_ref=None) -> None:
+        from tilecloud_chain_ray.geom.strtree import STRtree
+
         self.layer = layer
         geoms = ray.get(geoms_ref) if isinstance(geoms_ref, ray.ObjectRef) else geoms_ref
         raw = list(geoms) if geoms is not None else list(layer.geometries)
@@ -115,6 +127,12 @@ class GeometryRenderer:
         # per-resolution bounds only steer seeding geometry)
         self.geoms = [getattr(g, "geometry", g) for g in raw]
         self.color = layer_color(layer.name)
+        # per-actor STRtree over leaf bounds: each render touches only
+        # the leaves intersecting its extent, not every source geometry
+        self.leaves = list(iter_leaves_all(self.geoms))
+        self.tree = STRtree(
+            np.array([lf.bounds for lf in self.leaves], dtype=np.float64).reshape(-1, 4)
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         grid = self.layer.grid
@@ -127,7 +145,8 @@ class GeometryRenderer:
         for i in range(batch.num_rows):
             size_px = int(n[i]) * grid.tile_size + 2 * buffer_px
             extent = grid.extent(int(z[i]), int(x[i]), int(y[i]), int(n[i]), buffer_px)
-            img = render_geometries(self.geoms, extent, (size_px, size_px), self.color)
+            hit = [self.leaves[j] for j in self.tree.query(*extent)]
+            img = render_leaves(hit, extent, (size_px, size_px), self.color)
             blobs.append(encode_png(img))
         out = batch.append_column("data", pa.array(blobs, pa.binary()))
         return out.append_column(

@@ -53,7 +53,12 @@ def render_utfgrid(
     gx = gx.ravel()
     gy = gy.ravel()
     hit = np.full(gx.shape, -1, dtype=np.int64)
+    # sampling reaches step/2 beyond a feature's bounds — prune with margin
+    mx, my = step_x / 2, step_y / 2
     for fi, (_, geom) in enumerate(features):
+        gb = geom.bounds
+        if gb[0] > maxx + mx or gb[2] < minx - mx or gb[1] > maxy + my or gb[3] < miny - my:
+            continue
         mask = np.zeros(len(gx), dtype=bool)
         for leaf in iter_leaves(geom):
             if isinstance(leaf, Polygon):
