@@ -125,3 +125,111 @@ def test_wkt_roundtrip():
     assert isinstance(p, MultiPoint) and len(p.points) == 2
     with pytest.raises(ValueError):
         geometry_from_wkt("CIRCLE(0 0, 5)")
+
+
+BAD_YAML = """
+grids:
+  bad_grid:
+    resolutions: [5, 10, 100]
+    bbox: [900000, 30000, 420000]
+  no_res:
+    bbox: [0, 0, 1, 1]
+    tile_size: -5
+layers:
+  broken:
+    grids: [missing_grid]
+    meta: true
+    meta_size: 0
+    empty_tile_detection:
+      size: 334
+      hash: nothex
+  grid_meta:
+    type: mapnik
+    output_format: grid
+    meta: true
+    grids: [no_res]
+"""
+
+
+def test_validate_config_structured_errors():
+    from tilecloud_chain_ray.config_yaml import ConfigError, validate_config
+    import yaml as _yaml
+
+    errors = validate_config(_yaml.safe_load(BAD_YAML), file="bad.yaml")
+    joined = "\n".join(errors)
+    assert "grids.bad_grid.resolutions" in joined and "descending" in joined
+    assert "grids.bad_grid.bbox" in joined
+    assert "grids.no_res.resolutions" in joined
+    assert "grids.no_res.tile_size" in joined
+    assert "layers.broken.grids" in joined and "missing_grid" in joined
+    assert "layers.broken.meta_size" in joined
+    assert "empty_tile_detection.hash" in joined
+    assert "Mapnik/Grid" in joined
+
+    with pytest.raises(ConfigError) as exc:
+        load_config(text=BAD_YAML)
+    assert len(exc.value.errors) >= 7
+    # ignore_error loads anyway (like the reference's flag)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with pytest.raises(Exception):
+            load_config(text=BAD_YAML, ignore_error=True)  # Grid ctor still asserts
+
+
+def test_validate_config_resolution_scale():
+    from tilecloud_chain_ray.config_yaml import validate_config
+
+    doc = {
+        "grids": {
+            "g": {
+                "resolutions": [0.3, 0.1],
+                "bbox": [0, 0, 1, 1],
+                "resolution_scale": 3,
+            }
+        }
+    }
+    errors = validate_config(doc)
+    assert any("not an integer" in e for e in errors)
+    doc["grids"]["g"]["resolution_scale"] = 10
+    assert validate_config(doc) == []
+
+
+def test_validate_config_unknown_keys_warn_not_error():
+    from tilecloud_chain_ray.config_yaml import validate_config
+
+    doc = {
+        "grids": {
+            "g": {"resolutions": [10, 5], "bbox": [0, 0, 1, 1], "bogus_key": 1}
+        }
+    }
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert validate_config(doc) == []
+    assert any("bogus_key" in str(w.message) for w in rec)
+
+
+PROJ_YAML = """
+grids:
+  lv95:
+    resolutions: [100, 50]
+    bbox: [2420000, 1030000, 2900000, 1350000]
+    srs: EPSG:2056
+layers:
+  pts:
+    grids: [lv95]
+    bbox: [420000, 30000, 900000, 350000]
+    srs: EPSG:21781
+    geoms:
+      - wkt: POINT(600000 200000)
+        srs: EPSG:21781
+    meta: false
+"""
+
+
+def test_yaml_reprojects_layer_bbox_and_geoms():
+    loaded = load_config(text=PROJ_YAML)
+    layer = loaded.engine.layers["pts"]
+    # LV03 -> LV95 is an exact +2'000'000/+1'000'000 shift
+    assert layer.bbox == pytest.approx((2420000, 1030000, 2900000, 1350000))
+    g = layer.geometries[0].geometry
+    assert (g.x, g.y) == pytest.approx((2600000, 1200000))

@@ -91,7 +91,19 @@ class Grid:
     srs: str = "EPSG:21781"
     tile_size: int = TILE_SIZE_DEFAULT
     matrix_identifier: str = "zoom"  # "zoom" | "resolution"
+    # proj4 literal for reprojection (reference grids carry
+    # ``proj4_literal``, configuration.py:1040-1051); defaults to the
+    # built-in table lookup for ``srs`` when needed
+    proj4_literal: str | None = None
     scale: int = field(init=False)
+
+    def proj4(self) -> str:
+        """The grid's proj4 literal (explicit or from the srs table)."""
+        if self.proj4_literal:
+            return self.proj4_literal
+        from tilecloud_chain_ray.proj import get_proj4_literal
+
+        return get_proj4_literal(self.srs)
 
     def __post_init__(self) -> None:
         assert list(self.resolutions) == sorted(self.resolutions, reverse=True), (
