@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dimension_cross": q.q_dimension_cross,
         "tile_union_area_z2": q.q_tile_union_area_z2,
         "sessionize": q.q_sessionize,
+        "sparse_metatile_counts": q.q_sparse_metatile_counts,
+        "geom_filter_counts": q.q_geom_filter_counts,
         # rows-only (non-SQL-expressible) checks
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
@@ -305,6 +307,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_tiles,
                    count(*) * {span2}.0 * {span2}.0 AS total_area
             FROM t
+        """,
+        # S2: sparse metatile enumeration of the point_hash fixture
+        # (MultiPoint (600000,200000),(530000,150000) on swissgrid_5,
+        # meta 8x8, zooms 0-3 via min_resolution_seed=10).  A point is
+        # in metatile (mx,my) at zoom z by plain floor containment;
+        # span = 256*8*res.  Mirrors sources/enumerate.sparse_coord_dataset.
+        "sparse_metatile_counts": """
+            WITH zs(z, span) AS (VALUES (0, 204800), (1, 102400), (2, 40960), (3, 20480)),
+            pts(px, py) AS (VALUES (600000.0, 200000.0), (530000.0, 150000.0)),
+            hit AS (
+                SELECT DISTINCT zs.z,
+                       CAST(floor((p.px - 420000.0) / zs.span) AS BIGINT) AS mx,
+                       CAST(floor((350000.0 - p.py) / zs.span) AS BIGINT) AS my
+                FROM zs CROSS JOIN pts p
+            )
+            SELECT z, count(*) AS n_metatiles FROM hit GROUP BY z
+        """,
+        # M2: dense enumeration bounded by the geometry bbox, then the
+        # buffered intersect filter (buffer = meta_buffer(128) * res in
+        # pixel units, scaled by res again — the reference's px-buffer
+        # quirk, __init__.py:2663-2668).  buf column = 128 * res * res.
+        "geom_filter_counts": """
+            WITH zs(z, span, buf) AS (VALUES
+                (0, 204800, 1280000), (1, 102400, 320000),
+                (2, 40960, 51200), (3, 20480, 12800)),
+            pts(px, py) AS (VALUES (600000.0, 200000.0), (530000.0, 150000.0)),
+            bounds AS (SELECT min(px) AS gminx, min(py) AS gminy,
+                              max(px) AS gmaxx, max(py) AS gmaxy FROM pts),
+            idx(i) AS (SELECT range FROM range(0, 32)),
+            cand AS (
+                SELECT zs.z AS z, zs.span AS span, zs.buf AS buf,
+                       gx.i AS mx, gy.i AS my
+                FROM zs CROSS JOIN bounds b CROSS JOIN idx gx CROSS JOIN idx gy
+                WHERE gx.i BETWEEN CAST(floor((b.gminx - 420000.0) / zs.span) AS BIGINT)
+                               AND CAST(floor((b.gmaxx - 420000.0) / zs.span) AS BIGINT)
+                  AND gy.i BETWEEN CAST(floor((350000.0 - b.gmaxy) / zs.span) AS BIGINT)
+                               AND CAST(floor((350000.0 - b.gminy) / zs.span) AS BIGINT)
+            ),
+            hit AS (
+                SELECT DISTINCT c.z, c.mx, c.my
+                FROM cand c JOIN pts p ON
+                     c.mx * c.span - c.buf <= p.px - 420000.0
+                 AND p.px - 420000.0 <= (c.mx + 1) * c.span + c.buf
+                 AND c.my * c.span - c.buf <= 350000.0 - p.py
+                 AND 350000.0 - p.py <= (c.my + 1) * c.span + c.buf
+            )
+            SELECT z, count(*) AS n_metatiles FROM hit GROUP BY z
         """,
         "sessionize": """
             WITH gaps AS (

@@ -300,7 +300,9 @@ def load_config(
 
     caches = {}
     for name, c in (doc.get("caches") or {}).items():
-        if c.get("type") == "filesystem" and "folder" in c:
+        # filesystem: WMTS layout under folder; mbtiles: single-file
+        # sqlite store(s) under folder (sinks/mbtiles.write_mbtiles)
+        if c.get("type") in ("filesystem", "mbtiles") and "folder" in c:
             caches[name] = c["folder"]
         else:
             warns.append(f"cache {name}: type {c.get('type')} not a local folder — skipped")

@@ -687,3 +687,45 @@ def q_generate_point_hash(sf_dir: str) -> pa.Table:
             "tiles_stored": pa.array([s["tiles_stored"]], pa.int64()),
         }
     )
+
+
+def _point_hash_layer(meta: bool):
+    from tilecloud_chain_ray.config import Layer
+    from tilecloud_chain_ray.geom import MultiPoint, Point
+
+    return Layer(
+        name="point_hash",
+        grid=SWISSGRID_5,
+        geometries=(MultiPoint((Point(600000, 200000), Point(530000, 150000))),),
+        meta=meta,
+        meta_size=8,
+        meta_buffer=128,
+        min_resolution_seed=10,
+    )
+
+
+def q_sparse_metatile_counts(sf_dir: str) -> ray.data.Dataset:
+    """S2 oracle: sparse metatile enumeration (unbuffered geometry
+    intersection) per zoom over the point_hash fixture — the master-role
+    seed set (reference master/slave test: 6 metatile jobs)."""
+    from ray.data.aggregate import Count
+
+    from tilecloud_chain_ray.sources.enumerate import sparse_coord_dataset
+
+    layer = _point_hash_layer(meta=True)
+    coords = sparse_coord_dataset(layer, concurrency=(1, 2))
+    return coords.groupby("z").aggregate(Count(alias_name="n_metatiles"))
+
+
+def q_geom_filter_counts(sf_dir: str) -> ray.data.Dataset:
+    """M2 oracle: dense enumeration + buffered geometry filter per zoom
+    (the local-role seed set; 128 px meta_buffer quirk included)."""
+    from ray.data.aggregate import Count
+
+    from tilecloud_chain_ray.sources.enumerate import dense_coord_dataset
+    from tilecloud_chain_ray.stages.geom_filter import add_geom_filter
+
+    layer = _point_hash_layer(meta=True)
+    coords = dense_coord_dataset(layer)
+    coords = add_geom_filter(coords, layer, concurrency=(1, 2))
+    return coords.groupby("z").aggregate(Count(alias_name="n_metatiles"))

@@ -71,4 +71,8 @@ def write_manifest(out_dir: str, layers: list[Layer], tiles: ray.data.Dataset | 
     with open(tmp, "w") as fh:
         json.dump(doc, fh, indent=2, sort_keys=True)
     os.replace(tmp, path)
+    # the WMTS interoperability artifact next to the JSON manifest
+    from tilecloud_chain_ray.sinks.capabilities import write_capabilities
+
+    write_capabilities(out_dir, layers)
     return path
