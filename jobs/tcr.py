@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Interactive discovery CLI — the ``generate-tiles --get-hash`` /
+``--get-bbox`` / ``generate-controller`` / ``generate-cost`` analogs
+(reference ``generate.py:709-897``, ``controller.py``, ``cost.py``).
+
+Subcommands (all driver-side; no Ray session needed except ``cost
+--algo count``):
+
+  get-bbox   z/x/y[:+n/+n] --config C --layer L [--px-buffer N]
+  get-hash   z/x/y[:+n/+n] --config C --layer L
+  capabilities --config C --out DIR [--base-url URL]
+  cost       --config C --layer L [--algo area|count]
+
+Examples:
+  python jobs/tcr.py get-bbox 4/4/4 --config cfg.yaml --layer point_hash
+  python jobs/tcr.py get-hash 0/0/0:+8/+8 --config cfg.yaml --layer point_hash
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_get_bbox(args) -> None:
+    from tilecloud_chain_ray.config_yaml import load_config
+    from tilecloud_chain_ray.coords import parse_tilecoord
+
+    layer = load_config(args.config).engine.layers[args.layer]
+    c = parse_tilecoord(args.tilecoord)
+    bbox = layer.grid.extent(c.z, c.x, c.y, c.n, args.px_buffer)
+    print(json.dumps(list(bbox)))
+
+
+def cmd_get_hash(args) -> None:
+    """Size + sha1 of the tile/metatile the deterministic renderer
+    produces for an EMPTY extent — the value to put in
+    empty_{metatile,tile}_detection (reference HashLogger)."""
+    from tilecloud_chain_ray.config_yaml import load_config
+    from tilecloud_chain_ray.coords import parse_tilecoord
+    from tilecloud_chain_ray.stages.hashdrop import empty_signatures
+
+    layer = load_config(args.config).engine.layers[args.layer]
+    c = parse_tilecoord(args.tilecoord)
+    empty_meta, empty_tile = empty_signatures(layer)
+    sig = empty_meta if c.n > 1 else empty_tile
+    print(
+        json.dumps(
+            {"tilecoord": str(c), "size": sig.size, "hash": sig.sha1},
+        )
+    )
+
+
+def cmd_capabilities(args) -> None:
+    from tilecloud_chain_ray.config_yaml import load_config
+    from tilecloud_chain_ray.sinks.capabilities import write_capabilities
+
+    loaded = load_config(args.config)
+    path = write_capabilities(
+        args.out,
+        list(loaded.engine.layers.values()),
+        base_urls=[args.base_url] if args.base_url else None,
+    )
+    print(path)
+
+
+def cmd_cost(args) -> None:
+    from tilecloud_chain_ray.config_yaml import load_config
+    from tilecloud_chain_ray.pipelines.cost import estimate_cost
+
+    if args.algo == "count":
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    layer = load_config(args.config).engine.layers[args.layer]
+    rows = estimate_cost(layer, algo=args.algo)
+    for r in rows:
+        print(
+            json.dumps(
+                {
+                    "zoom": r.zoom,
+                    "n_tiles": r.n_tiles,
+                    "n_metatiles": r.n_metatiles,
+                    "time_sec": r.time_sec,
+                    "size_kb": r.size_kb,
+                }
+            )
+        )
+    if args.algo == "count":
+        import ray
+
+        ray.shutdown()
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("get-bbox", help="meter bounds of a (meta)tile coord")
+    p.add_argument("tilecoord")
+    p.add_argument("--config", required=True)
+    p.add_argument("--layer", required=True)
+    p.add_argument("--px-buffer", type=float, default=0.0)
+    p.set_defaults(fn=cmd_get_bbox)
+
+    p = sub.add_parser("get-hash", help="empty-tile size+sha1 for hash drop config")
+    p.add_argument("tilecoord")
+    p.add_argument("--config", required=True)
+    p.add_argument("--layer", required=True)
+    p.set_defaults(fn=cmd_get_hash)
+
+    p = sub.add_parser("capabilities", help="write WMTSCapabilities.xml")
+    p.add_argument("--config", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--base-url")
+    p.set_defaults(fn=cmd_capabilities)
+
+    p = sub.add_parser("cost", help="per-zoom tile counts / time / size estimate")
+    p.add_argument("--config", required=True)
+    p.add_argument("--layer", required=True)
+    p.add_argument("--algo", default="area", choices=["area", "count"])
+    p.set_defaults(fn=cmd_cost)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

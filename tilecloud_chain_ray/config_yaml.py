@@ -260,6 +260,19 @@ def load_config(
                         max_resolution=src.get("max_resolution"),
                     )
                 )
+            elif "file" in src:
+                # parquet geometry table — the PostGIS/OGR substitute
+                from tilecloud_chain_ray.sources.geoms_file import load_layer_geometries
+
+                try:
+                    grid_lit = grid.proj4()
+                except ValueError:
+                    grid_lit = None
+                geometries.extend(
+                    load_layer_geometries(
+                        src["file"], src.get("layer", name), grid_proj4=grid_lit
+                    )
+                )
             else:
                 warns.append(
                     f"layer {name}: geometry source {sorted(src)} needs a live "
