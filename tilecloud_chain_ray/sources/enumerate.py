@@ -131,16 +131,27 @@ def dense_coord_dataset(
     cli_bbox: tuple[float, float, float, float] | None = None,
     zooms: Sequence[int] | None = None,
     max_coords_per_row: int = 4096,
+    intervals: list[CoordInterval] | None = None,
 ) -> ray.data.Dataset:
-    """Dense enumeration -> Dataset of coordinate rows (meta-promoted)."""
-    zooms = list(zooms) if zooms is not None else layer.seed_zooms()
-    geoms = layer.geoms_per_zoom(cli_bbox=cli_bbox)
+    """Dense enumeration -> Dataset of coordinate rows (meta-promoted).
+
+    ``intervals`` lets a caller that already ran ``dense_intervals``
+    (e.g. to size batches from the total coord count) pass them in.
+    """
+    if intervals is None:
+        zooms = list(zooms) if zooms is not None else layer.seed_zooms()
+        geoms = layer.geoms_per_zoom(cli_bbox=cli_bbox)
+        intervals = list(dense_intervals(layer, geoms, zooms))
     table = intervals_to_table(
-        dense_intervals(layer, geoms, zooms), layer.name, layer.grid.name, max_coords_per_row
+        intervals, layer.name, layer.grid.name, max_coords_per_row
     )
     ds = ray.data.from_arrow(table)
-    if table.num_rows > 64:
-        ds = ds.repartition(64)
+    # one block per interval row for small jobs: the expand->filter->
+    # render chain fuses per input block, so a single-block table would
+    # serialize the whole render on one task (measured 2.1 s for the
+    # 10-metatile golden vs ~0.4 s split)
+    if table.num_rows > 1:
+        ds = ds.repartition(min(64, table.num_rows))
     return ds.map_batches(expand_intervals_batch, batch_format="pyarrow")
 
 
@@ -227,8 +238,8 @@ def sparse_coord_dataset(
     )
     geoms_ref = ray.put(geoms)
     ds = ray.data.from_arrow(bands)
-    if len(band_rows) > 64:
-        ds = ds.repartition(64)
+    if len(band_rows) > 1:
+        ds = ds.repartition(min(64, len(band_rows)))
     intervals = ds.map_batches(
         _BandWalker,
         fn_constructor_kwargs={"layer": layer, "geoms_ref": geoms_ref},

@@ -64,14 +64,31 @@ def add_geom_filter(
     layer: Layer,
     geoms: Mapping[int, Geometry] | None = None,
     concurrency: int | tuple[int, int] = (1, 4),
-    batch_size: int = 8192,
+    batch_size: int | None = 8192,
 ) -> ray.data.Dataset:
-    """Wire the filter as an actor-pool stage (geometry shipped once)."""
+    """Wire the filter as a task stage with per-process state.
+
+    The filter state (decode the one broadcast geometry dict, build the
+    tiny per-zoom structures) is cheap, so tasks + a process-level cache
+    fuse with the upstream expansion and skip actor-pool spin-up
+    (~1 s serial on small jobs); heavy-state joins keep the true actor
+    pool (``stages/pip_join.py``).  ``concurrency`` is kept for
+    signature compatibility (task parallelism is block-driven).
+    """
+    del concurrency  # task-based: executor schedules by blocks
     geoms_ref = ray.put(geoms if geoms is not None else layer.geoms_per_zoom())
+    key = ("coord_geom_filter", layer.name, layer.grid.name, geoms_ref.hex())
+
+    def filter_fn(batch: pa.Table) -> pa.Table:
+        from tilecloud_chain_ray.util import process_cached
+
+        stage = process_cached(
+            key, lambda: CoordGeomFilter(layer=layer, geoms_ref=geoms_ref)
+        )
+        return stage(batch)
+
     return ds.map_batches(
-        CoordGeomFilter,
-        fn_constructor_kwargs={"layer": layer, "geoms_ref": geoms_ref},
+        filter_fn,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )

@@ -15,6 +15,7 @@ a geometry-free (meta)tile once and freeze its (size, sha1).
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 import numpy as np
 import pyarrow as pa
@@ -28,15 +29,21 @@ def signature(data: bytes) -> EmptyHash:
     return EmptyHash(size=len(data), sha1=hashlib.sha1(data).hexdigest())
 
 
+@lru_cache(maxsize=64)
+def _empty_signature_px(size_px: int) -> EmptyHash:
+    """Signature of a geometry-free square render: depends only on the
+    pixel size and the constant background — cached (the big metatile
+    encode costs ~0.3 s of driver time otherwise)."""
+    img = np.empty((size_px, size_px, 4), dtype=np.uint8)
+    img[:] = BACKGROUND
+    return signature(encode_png(img))
+
+
 def empty_signatures(layer: Layer) -> tuple[EmptyHash, EmptyHash]:
     """(empty_metatile, empty_tile) signatures for this layer's renderer."""
     ts = layer.grid.tile_size
     meta_px = layer.meta_size * ts + 2 * layer.meta_buffer if layer.meta else ts
-    meta_img = np.empty((meta_px, meta_px, 4), dtype=np.uint8)
-    meta_img[:] = BACKGROUND
-    tile_img = np.empty((ts, ts, 4), dtype=np.uint8)
-    tile_img[:] = BACKGROUND
-    return signature(encode_png(meta_img)), signature(encode_png(tile_img))
+    return _empty_signature_px(meta_px), _empty_signature_px(ts)
 
 
 def make_hash_dropper(empty: EmptyHash | None, level: str):
