@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_near_dup": q.q_embed_near_dup,
         "knn_cell_spatial": q.q_knn_cell_spatial,
         "knn_lsh": q.q_knn_lsh,
+        "knn_ivf": q.q_knn_ivf,
         "density_tiles": q.q_density_tiles,
         "generate_point_hash": q.q_generate_point_hash,
     }

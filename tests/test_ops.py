@@ -383,3 +383,41 @@ def test_hll_approx_distinct():
     est = approx_distinct(ds, "k", p=12)
     exact = len(np.unique(keys))
     assert abs(est - exact) / exact < 0.05  # p=12 -> ~1.6% std error
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_ivf_recall_and_full_probe_exactness():
+    rng = np.random.default_rng(11)
+    # 16 planted clusters so the coarse quantizer has real structure
+    centers = rng.standard_normal((16, 24))
+    vecs = np.concatenate(
+        [c + 0.15 * rng.standard_normal((40, 24)) for c in centers]
+    ).astype(np.float64)
+    n = len(vecs)
+    table = pa.Table.from_pydict(
+        {"vec_id": list(range(n)), "embedding": [v.tolist() for v in vecs]}
+    )
+    ds = ray.data.from_arrow(table)
+    queries = vecs[:5] + 0.05 * rng.standard_normal((5, 24))
+    qids = np.arange(5)
+
+    brute = knn_mod.knn_brute(ds, queries, k=4, query_ids=qids).to_pandas()
+    exact = {
+        q: set(brute[brute["query_id"] == q]["vec_id"]) for q in range(5)
+    }
+
+    # full probe == exhaustive == brute force, exactly
+    full = knn_mod.knn_ivf(
+        ds, queries, k=4, query_ids=qids, n_lists=8, nprobe=8
+    ).to_pandas()
+    for q in range(5):
+        assert set(full[full["query_id"] == q]["vec_id"]) == exact[q]
+
+    # probing 2/8 lists on clustered data keeps high recall
+    approx = knn_mod.knn_ivf(
+        ds, queries, k=4, query_ids=qids, n_lists=8, nprobe=2
+    ).to_pandas()
+    hits = sum(
+        len(set(approx[approx["query_id"] == q]["vec_id"]) & exact[q]) for q in range(5)
+    )
+    assert hits / (5 * 4) >= 0.8, hits

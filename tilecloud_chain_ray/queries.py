@@ -635,6 +635,25 @@ def q_knn_lsh(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_knn_ivf(sf_dir: str) -> ray.data.Dataset:
+    """Approximate (IVF coarse-quantizer) top-k — the FAISS-style path."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(
+        (
+            (r["vec_id"], r["embedding"])
+            for r in emb.map_batches(
+                lambda b: b.filter(pc.less(b["vec_id"], 5)), batch_format="pyarrow"
+            ).take_all()
+        )
+    )
+    qids = np.array([r[0] for r in qrows])
+    qvecs = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    out = knn_mod.knn_ivf(
+        emb, qvecs, k=5, key_col="vec_id", query_ids=qids, n_lists=16, nprobe=4
+    )
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
 def q_knn_cell_spatial(sf_dir: str) -> ray.data.Dataset:
     # coarse cells (res 5: 32x32 over the bbox) so ring-2 disks hold
     # enough candidates for k=5 at test scale
