@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q.q_knn_ivf,
         "density_tiles": q.q_density_tiles,
         "generate_point_hash": q.q_generate_point_hash,
+        "fingerprints": q.q_fingerprints,
+        "approx_distinct": q.q_approx_distinct,
+        "media_pipeline": q.q_media_pipeline,
     }
 
 

@@ -1,0 +1,127 @@
+"""Real PNG/WAV codecs for the multimodal stages (public-spec
+implementations, no media libraries)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from tilecloud_chain_ray.functions.png import decode_png, encode_png
+from tilecloud_chain_ray.functions.wav import decode_wav, encode_wav
+from tilecloud_chain_ray.stages.multimodal import (
+    MediaDecoder,
+    MediaResizer,
+    synthesize_media,
+)
+
+
+def make_png(img: np.ndarray, filters: list[int]) -> bytes:
+    """Encode with arbitrary per-scanline filters (spec forward filter) —
+    exercises the decoder paths our own encoder (filter 0 only) never
+    produces."""
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    prev = np.zeros(w * c, dtype=np.int64)
+    lines = []
+    for row in range(h):
+        raw = img[row].reshape(-1).astype(np.int64)
+        f = filters[row % len(filters)]
+        filt = raw.copy()
+        for x in range(w * c):
+            a = raw[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # paeth
+                p = a + b - cc
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else cc)
+            filt[x] = (raw[x] - pred) % 256
+        lines.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+        prev = raw
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_decode_png_all_filters_and_color_types(channels, filters):
+    rng = np.random.default_rng(channels * 10 + filters[0])
+    img = rng.integers(0, 256, (9, 7, channels), dtype=np.uint8)
+    data = make_png(img, filters)
+    out = decode_png(data)
+    assert out.shape == img.shape
+    assert (out == img).all()
+
+
+def test_encode_decode_roundtrip_rgba():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (13, 11, 4), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    rng = np.random.default_rng(6)
+    mono = rng.integers(-30000, 30000, 500).astype(np.int16)
+    rate, back = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and (back == mono).all()
+    stereo = rng.integers(-30000, 30000, (300, 2)).astype(np.int16)
+    rate, back = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and back.shape == (300, 2) and (back == stereo).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_decoder_png_real():
+    table = synthesize_media(20, codec="png")
+    out = MediaDecoder(codec="png")(table)
+    assert out.num_rows == 20
+    h = out["decoded_h"].to_numpy(zero_copy_only=False)
+    w = out["decoded_w"].to_numpy(zero_copy_only=False)
+    assert (h == table["meta_height"].to_numpy(zero_copy_only=False)).all()
+    assert (w == table["meta_width"].to_numpy(zero_copy_only=False)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_decoder_wav_real():
+    table = synthesize_media(10, kind="audio", codec="wav")
+    out = MediaDecoder(codec="wav")(table)
+    assert set(out.column_names) >= {"sample_rate", "n_samples", "rms"}
+    assert (out["sample_rate"].to_numpy(zero_copy_only=False) == 16000).all()
+    assert (out["rms"].to_numpy(zero_copy_only=False) > 0).all()
+
+
+def test_media_resizer_png_bilinear():
+    table = synthesize_media(5, codec="png")
+    out = MediaResizer(target=12, codec="png", method="bilinear")(table)
+    for payload in out["payload"].to_pylist():
+        img = decode_png(payload)
+        assert img.shape == (12, 12, 4)
+
+
+def test_unavailable_codecs_raise():
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        MediaDecoder(codec="jpeg")
+    with pytest.raises(NotImplementedError, match="mp4"):
+        MediaDecoder(codec="mp4")

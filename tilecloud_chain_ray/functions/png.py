@@ -41,48 +41,85 @@ def encode_png(rgba: np.ndarray) -> bytes:
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode PNGs produced by :func:`encode_png` (filters 0-2 tolerated)."""
+    """Full 8-bit PNG decode -> (h, w, c) uint8, c per color type
+    (1 gray, 2 gray+alpha, 3 RGB, 4 RGBA).  All five scanline filters
+    (None/Sub/Up/Average/Paeth, PNG spec §9); no interlace, no palette,
+    no 16-bit.  Public-spec implementation — no image library needed."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
     pos = 8
-    w = h = None
+    w = h = c = None
     idat = bytearray()
-    while pos < len(data):
+    while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack_from(">IIBB", payload)
-            if depth != 8 or ctype != 6:
-                raise ValueError("only 8-bit RGBA supported")
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack_from(
+                ">IIBBBBB", payload
+            )
+            if depth != 8:
+                raise ValueError("only 8-bit depth supported")
+            if ctype not in _CHANNELS:
+                raise ValueError(f"unsupported color type {ctype} (palette?)")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+            c = _CHANNELS[ctype]
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
+    if w is None:
+        raise ValueError("missing IHDR")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = w * 4 + 1
+    stride = w * c + 1
     raw = raw.reshape(h, stride)
     filters = raw[:, 0]
-    img = raw[:, 1:].astype(np.uint8).copy()
+    scan = raw[:, 1:]
     if (filters == 0).all():
-        return img.reshape(h, w, 4)
-    # generic un-filtering (sub/up) for robustness
-    px = img.reshape(h, w, 4).astype(np.int32)
+        return scan.reshape(h, w, c).copy()
+    recon = np.zeros((h, w * c), dtype=np.uint8)
+    prev = np.zeros(w * c, dtype=np.int32)
     for row in range(h):
-        f = filters[row]
+        f = int(filters[row])
+        cur = scan[row].astype(np.int32)
         if f == 0:
-            continue
-        if f == 1:  # sub
-            for col in range(1, w):
-                px[row, col] = (px[row, col] + px[row, col - 1]) % 256
-        elif f == 2:  # up
-            if row > 0:
-                px[row] = (px[row] + px[row - 1]) % 256
+            out = cur
+        elif f == 2:  # Up
+            out = (cur + prev) & 255
         else:
-            raise ValueError(f"unsupported PNG filter {f}")
-    return px.astype(np.uint8)
+            out = cur.copy()
+            if f == 1:  # Sub
+                for x in range(c, w * c):
+                    out[x] = (out[x] + out[x - c]) & 255
+            elif f == 3:  # Average
+                for x in range(w * c):
+                    a = out[x - c] if x >= c else 0
+                    out[x] = (out[x] + ((a + prev[x]) >> 1)) & 255
+            elif f == 4:  # Paeth
+                for x in range(w * c):
+                    a = int(out[x - c]) if x >= c else 0
+                    b = int(prev[x])
+                    cc = int(prev[x - c]) if x >= c else 0
+                    p = a + b - cc
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    if pa_ <= pb_ and pa_ <= pc_:
+                        pred = a
+                    elif pb_ <= pc_:
+                        pred = b
+                    else:
+                        pred = cc
+                    out[x] = (out[x] + pred) & 255
+            else:
+                raise ValueError(f"unsupported PNG filter {f}")
+        recon[row] = out.astype(np.uint8)
+        prev = out
+    return recon.reshape(h, w, c)
 
 
 def is_uniform(rgba: np.ndarray) -> bool:

@@ -748,3 +748,65 @@ def q_geom_filter_counts(sf_dir: str) -> ray.data.Dataset:
     coords = dense_coord_dataset(layer)
     coords = add_geom_filter(coords, layer, concurrency=(1, 2))
     return coords.groupby("z").aggregate(Count(alias_name="n_metatiles"))
+
+
+def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Document fingerprint histogram: rolling 8-gram min-hash per doc,
+    grouped — deterministic, rows-only (not SQL-expressible)."""
+    from ray.data.aggregate import Count
+
+    from tilecloud_chain_ray.stages.text import fingerprint_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    fps = docs.map_batches(
+        lambda b: fingerprint_batch(b).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+    )
+    return fps.groupby("fingerprint").aggregate(Count(alias_name="n_docs"))
+
+
+def q_approx_distinct(sf_dir: str) -> pa.Table:
+    """HyperLogLog approximate distinct doc_ids + texts (mergeable
+    sketch rows; rows-only — the estimate is approximate by design)."""
+    from tilecloud_chain_ray.stages.sketch import approx_distinct
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    est = approx_distinct(docs, "doc_id", p=12)
+    return pa.Table.from_pydict(
+        {"column": pa.array(["doc_id"], pa.string()),
+         "approx_distinct": pa.array([int(round(est))], pa.int64())}
+    )
+
+
+def q_media_pipeline(sf_dir: str) -> pa.Table:
+    """Multimodal leg: REAL PNG payloads -> bilinear resize -> decode ->
+    feature aggregate (deterministic synthesis; rows-only)."""
+    from tilecloud_chain_ray.stages.multimodal import (
+        MediaDecoder,
+        MediaResizer,
+        synthesize_media,
+    )
+
+    media = ray.data.from_arrow(synthesize_media(64, codec="png"))
+    resized = media.map_batches(
+        MediaResizer, fn_constructor_kwargs={"target": 16, "codec": "png"},
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
+    )
+    decoded = resized.map_batches(
+        MediaDecoder, fn_constructor_kwargs={"codec": "png"},
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
+    )
+    tbl = pa.concat_tables(decoded.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return pa.Table.from_pydict(
+        {
+            "n_media": pa.array([tbl.num_rows], pa.int64()),
+            "all_resized_16": pa.array(
+                [bool((np.array(tbl["decoded_h"]) == 16).all()
+                      and (np.array(tbl["decoded_w"]) == 16).all())],
+                pa.bool_(),
+            ),
+            "mean_intensity_rounded": pa.array(
+                [round(float(np.array(tbl["mean_intensity"]).mean()), 2)], pa.float64()
+            ),
+        }
+    )

@@ -1,19 +1,26 @@
 """Multimodal columns: decode / feature-extract / resize / frame-sample
 stages over opaque ``binary`` payload columns.
 
-The Ray-side plumbing (schemas, actor-pool batch signatures, bounded
-batch sizes for wide binary rows, output layout) is real and tested;
-the codec itself is stubbed: no image/audio libraries exist in this
-container, so ``codec="raw"`` interprets payloads as our deterministic
-synthetic format, and any other codec raises ``NotImplementedError``
-with the intended library call named — swap in PIL/torchaudio on a
-real cluster.
+Real codecs, implemented from public specs with no external media
+libraries:
 
-Synthetic payload format (matches ``sources.pages`` html bytes): the
-first 8 bytes are (height uint16, width uint16, channels uint16,
-reserved uint16) little-endian, followed by h*w*c uint8 samples
-(truncated/zero-padded as needed) — enough structure to exercise
-decode -> resize -> feature pipelines deterministically.
+* ``png`` — the engine's own full 8-bit PNG codec
+  (``functions/png.py``: gray / gray+alpha / RGB / RGBA, all five
+  scanline filters).
+* ``wav`` — 16-bit PCM via stdlib ``wave`` (``functions/wav.py``).
+* ``raw`` — the deterministic synthetic header+samples format below
+  (useful for plumbing tests with exact expectations).
+
+Codecs that genuinely require native libraries absent from this
+container (``jpeg``, ``mp3``, ``mp4``/video) raise
+``NotImplementedError`` naming the intended library call — the
+actor-pool plumbing around them (schemas, bounded batch sizes for wide
+binary rows, row expansion) is real and tested either way.
+
+Synthetic ``raw`` payload format: the first 8 bytes are
+(height uint16, width uint16, channels uint16, reserved uint16)
+little-endian, followed by h*w*c uint8 samples (truncated/zero-padded
+as needed).
 """
 
 from __future__ import annotations
@@ -23,6 +30,9 @@ import struct
 import numpy as np
 import pyarrow as pa
 import ray
+
+from tilecloud_chain_ray.functions.png import decode_png, encode_png
+from tilecloud_chain_ray.functions.wav import decode_wav, encode_wav
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -35,17 +45,44 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
+_STUBBED = {
+    "jpeg": "PIL.Image.open / libjpeg-turbo",
+    "mp3": "soundfile.read / libsndfile",
+    "mp4": "PyAV / ffmpeg frame demux",
+}
 
-def synthesize_media(n: int, seed: int = 42, kind: str = "image") -> pa.Table:
-    """Deterministic opaque payloads with typed metadata."""
+
+def synthesize_media(
+    n: int, seed: int = 42, kind: str = "image", codec: str = "raw"
+) -> pa.Table:
+    """Deterministic payloads with typed metadata.
+
+    ``codec='raw'`` emits the synthetic header format; ``codec='png'``
+    emits REAL PNG images; ``codec='wav'`` emits REAL 16-bit PCM WAV.
+    """
     rng = np.random.default_rng(seed)
     payloads, widths, heights, durations = [], [], [], []
     for i in range(n):
+        if codec == "wav":
+            n_samp = int(rng.integers(800, 4000))
+            rate = 16000
+            samples = rng.integers(-20000, 20000, n_samp).astype(np.int16)
+            payloads.append(encode_wav(samples, rate))
+            widths.append(0)
+            heights.append(0)
+            durations.append(int(n_samp * 1000 / rate))
+            continue
         h = int(rng.integers(8, 33))
         w = int(rng.integers(8, 33))
-        c = 3
-        body = rng.integers(0, 256, h * w * c, dtype=np.uint8).tobytes()
-        payloads.append(struct.pack("<HHHH", h, w, c, 0) + body)
+        if codec == "png":
+            img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+            payloads.append(encode_png(img))
+        elif codec == "raw":
+            c = 3
+            body = rng.integers(0, 256, h * w * c, dtype=np.uint8).tobytes()
+            payloads.append(struct.pack("<HHHH", h, w, c, 0) + body)
+        else:
+            raise ValueError(f"synthesize_media: unknown codec {codec!r}")
         widths.append(w)
         heights.append(h)
         durations.append(int(rng.integers(1000, 60000)) if kind != "image" else 0)
@@ -71,6 +108,17 @@ def _decode_raw(payload: bytes) -> np.ndarray:
     return body[:need].reshape(h, w, c)
 
 
+def _decode_image(payload: bytes, codec: str) -> np.ndarray:
+    if codec == "raw":
+        return _decode_raw(payload)
+    if codec == "png":
+        return decode_png(payload)
+    raise NotImplementedError(
+        f"codec {codec!r}: needs {_STUBBED.get(codec, 'a native codec library')} "
+        "absent from this container"
+    )
+
+
 class MediaDecoder:
     """Actor-pool decode stage.  State (codec tables / model weights in a
     real deployment) loads once per actor; batches stay SMALL because a
@@ -79,19 +127,34 @@ class MediaDecoder:
     """
 
     def __init__(self, codec: str = "raw") -> None:
-        if codec != "raw":
+        if codec not in ("raw", "png", "wav"):
             raise NotImplementedError(
-                f"codec {codec!r}: this container has no image/audio libs; "
-                "wire PIL.Image.open / soundfile.read here on a real cluster"
+                f"codec {codec!r}: needs "
+                f"{_STUBBED.get(codec, 'a native codec library')} "
+                "absent from this container"
             )
         self.codec = codec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        means = np.empty(batch.num_rows, dtype=np.float64)
-        shapes_h = np.empty(batch.num_rows, dtype=np.int32)
-        shapes_w = np.empty(batch.num_rows, dtype=np.int32)
+        n = batch.num_rows
+        if self.codec == "wav":
+            rates = np.empty(n, dtype=np.int32)
+            n_samples = np.empty(n, dtype=np.int64)
+            rms = np.empty(n, dtype=np.float64)
+            for i, payload in enumerate(batch["payload"].to_pylist()):
+                rate, samples = decode_wav(payload)
+                rates[i] = rate
+                n_samples[i] = len(samples)
+                rms[i] = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+            out = batch.drop_columns(["payload"])
+            out = out.append_column("sample_rate", pa.array(rates, pa.int32()))
+            out = out.append_column("n_samples", pa.array(n_samples, pa.int64()))
+            return out.append_column("rms", pa.array(rms, pa.float64()))
+        means = np.empty(n, dtype=np.float64)
+        shapes_h = np.empty(n, dtype=np.int32)
+        shapes_w = np.empty(n, dtype=np.int32)
         for i, payload in enumerate(batch["payload"].to_pylist()):
-            arr = _decode_raw(payload)
+            arr = _decode_image(payload, self.codec)
             means[i] = float(arr.mean())
             shapes_h[i], shapes_w[i] = arr.shape[0], arr.shape[1]
         out = batch.drop_columns(["payload"])  # decoded features replace the blob
@@ -100,23 +163,73 @@ class MediaDecoder:
         return out.append_column("mean_intensity", pa.array(means, pa.float64()))
 
 
-class MediaResizer:
-    """Resize stage: nearest-neighbor to (target, target); re-encodes the
-    synthetic format so downstream stages see the same schema."""
+def _resize_nearest(arr: np.ndarray, t: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    yi = (np.arange(t) * h // t).clip(0, h - 1)
+    xi = (np.arange(t) * w // t).clip(0, w - 1)
+    return arr[yi][:, xi]
 
-    def __init__(self, target: int = 16) -> None:
+
+def _resize_bilinear(arr: np.ndarray, t: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    fy = (np.arange(t) + 0.5) * h / t - 0.5
+    fx = (np.arange(t) + 0.5) * w / t - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(fy - y0, 0, 1)[:, None, None]
+    wx = np.clip(fx - x0, 0, 1)[None, :, None]
+    a = arr[y0][:, x0].astype(np.float64)
+    b = arr[y0][:, x1].astype(np.float64)
+    c = arr[y1][:, x0].astype(np.float64)
+    d = arr[y1][:, x1].astype(np.float64)
+    top = a * (1 - wx) + b * wx
+    bot = c * (1 - wx) + d * wx
+    return np.clip(top * (1 - wy) + bot * wy + 0.5, 0, 255).astype(np.uint8)
+
+
+class MediaResizer:
+    """Resize stage: nearest or bilinear to (target, target), re-encoded
+    in the same codec so downstream stages see the same schema."""
+
+    def __init__(self, target: int = 16, codec: str = "raw", method: str = "nearest") -> None:
+        if codec not in ("raw", "png"):
+            raise NotImplementedError(f"resize codec {codec!r} unsupported")
+        if method not in ("nearest", "bilinear"):
+            raise ValueError(method)
         self.target = target
+        self.codec = codec
+        self.method = method
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = self.target
+        resize = _resize_nearest if self.method == "nearest" else _resize_bilinear
         out_payloads = []
         for payload in batch["payload"].to_pylist():
-            arr = _decode_raw(payload)
-            h, w, c = arr.shape
-            yi = (np.arange(t) * h // t).clip(0, h - 1)
-            xi = (np.arange(t) * w // t).clip(0, w - 1)
-            resized = arr[yi][:, xi]
-            out_payloads.append(struct.pack("<HHHH", t, t, c, 0) + resized.tobytes())
+            arr = _decode_image(payload, self.codec)
+            resized = resize(arr, t)
+            if self.codec == "png":
+                # our encoder is RGBA: widen non-RGBA decodes
+                if resized.shape[2] != 4:
+                    rgba = np.empty((t, t, 4), dtype=np.uint8)
+                    if resized.shape[2] == 1:
+                        rgba[:, :, :3] = resized
+                    elif resized.shape[2] == 2:
+                        rgba[:, :, :3] = resized[:, :, :1]
+                        rgba[:, :, 3] = resized[:, :, 1]
+                        out_payloads.append(encode_png(rgba))
+                        continue
+                    else:
+                        rgba[:, :, :3] = resized
+                    rgba[:, :, 3] = 255
+                    resized = rgba
+                out_payloads.append(encode_png(resized))
+            else:
+                c = resized.shape[2]
+                out_payloads.append(
+                    struct.pack("<HHHH", t, t, c, 0) + resized.tobytes()
+                )
         cols = dict(zip(batch.schema.names, batch.columns))
         cols["payload"] = pa.array(out_payloads, pa.binary())
         cols["meta_width"] = pa.array([t] * batch.num_rows, pa.int32())
@@ -125,8 +238,9 @@ class MediaResizer:
 
 
 class FrameSampler:
-    """Video frame-sample stage stub: emits ``n_frames`` rows per input
-    (one per sampled timestamp) — the row-expansion plumbing is real."""
+    """Video frame-sample stage: emits ``n_frames`` rows per input (one
+    per sampled timestamp).  The row-expansion plumbing is real; actual
+    video demux would need ffmpeg/PyAV (see ``_STUBBED``)."""
 
     def __init__(self, n_frames: int = 4) -> None:
         self.n_frames = n_frames
