@@ -94,6 +94,39 @@ def cmd_cost(args) -> None:
         ray.shutdown()
 
 
+def cmd_time(args) -> None:
+    """The reference's ``--time N`` protocol (generate.py:378-408):
+    N warm-up tiles (untimed), then N measured, report us/tile."""
+    import time as _time
+
+    import ray
+
+    from tilecloud_chain_ray.config_yaml import load_config
+    from tilecloud_chain_ray.pipelines.generate import generate_tiles
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    layer = load_config(args.config).engine.layers[args.layer]
+    n = args.n
+    # warm-up: same coords, untimed (JIT/page-cache/worker spawn)
+    generate_tiles(layer, test_n=n, with_summary=False).tiles.count()
+    t0 = _time.perf_counter()
+    result = generate_tiles(layer, test_n=n, with_summary=False)
+    tiles = result.tiles.count()
+    dt = _time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metatiles": n,
+                "tiles": tiles,
+                "sec": round(dt, 4),
+                "us_per_tile": round(dt / max(tiles, 1) * 1e6, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -116,6 +149,12 @@ def main(argv=None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--base-url")
     p.set_defaults(fn=cmd_capabilities)
+
+    p = sub.add_parser("time", help="N warm-up + N measured (meta)tiles, us/tile")
+    p.add_argument("n", type=int, nargs="?", default=4)
+    p.add_argument("--config", required=True)
+    p.add_argument("--layer", required=True)
+    p.set_defaults(fn=cmd_time)
 
     p = sub.add_parser("cost", help="per-zoom tile counts / time / size estimate")
     p.add_argument("--config", required=True)

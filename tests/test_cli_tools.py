@@ -118,3 +118,11 @@ def test_geometry_file_source(tmp_path):
     )
     layer = load_config(text=cfg).engine.layers["point_hash"]
     assert len(layer.geometries) == 2
+
+
+def test_time_cli(config_path):
+    out = json.loads(run_cli("time", "2", "--config", config_path,
+                             "--layer", "point_hash"))
+    assert out["metatiles"] == 2
+    assert out["tiles"] == 128  # 2 metatiles x 64 children
+    assert out["us_per_tile"] > 0

@@ -421,3 +421,35 @@ def test_knn_ivf_recall_and_full_probe_exactness():
         len(set(approx[approx["query_id"] == q]["vec_id"]) & exact[q]) for q in range(5)
     )
     assert hits / (5 * 4) >= 0.8, hits
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_generate_from_tiles_file_rerun(tmp_path):
+    """--tiles error.list re-run (reference TilesFileStore): the listed
+    metatiles regenerate exactly, everything else untouched."""
+    from tilecloud_chain_ray.geom import MultiPoint, Point
+    from tilecloud_chain_ray.pipelines.generate import generate_tiles
+
+    layer = Layer(
+        name="point_hash",
+        grid=SWISSGRID_5,
+        geometries=(MultiPoint((Point(600000, 200000), Point(530000, 150000))),),
+        meta=True,
+        meta_size=8,
+        meta_buffer=128,
+        min_resolution_seed=10,
+    )
+    # the two z3 content metatiles (stored tiles (z,y,x)=(3,58,70),(3,78,42))
+    p = tmp_path / "error.list"
+    p.write_text("3/64/56:+8/+8\n3/40/72:+8/+8\n")
+    out = str(tmp_path / "wmts")
+    result = generate_tiles(layer, tiles_file=str(p), out_wmts=out, concurrency=(1, 2))
+    assert result.summary == {
+        "tiles_generated": 128,
+        "tiles_dropped": 126,
+        "tiles_stored": 2,
+        "metatiles_dropped": 0,
+        "metatiles_generated": 2,
+    }
+    stored = [r for r in result.tiles.take_all() if r["status"] == "stored"]
+    assert {(r["z"], r["y"], r["x"]) for r in stored} == {(3, 58, 70), (3, 78, 42)}

@@ -77,6 +77,7 @@ def generate_tiles(
     with_summary: bool = True,
     test_n: int | None = None,
     render_geometries=None,
+    tiles_file: str | None = None,
 ) -> GenerateResult:
     """Run the full pyramid generation for one layer.
 
@@ -87,7 +88,17 @@ def generate_tiles(
     downstream stages directly).
     """
     geoms = layer.geoms_per_zoom(cli_bbox=cli_bbox)
-    if test_n is not None:
+    if tiles_file is not None:
+        # --tiles error.list re-run (reference TilesFileStore,
+        # __init__.py:2842-2872): the file's coords replace enumeration;
+        # the geometry filter still applies, as in the reference chain.
+        from tilecloud_chain_ray.sources.tiles_file import tiles_file_dataset
+
+        coords = tiles_file_dataset(tiles_file, layer.name, layer.grid.name)
+        coords = add_geom_filter(
+            coords, layer, geoms=geoms, concurrency=concurrency, batch_size=None
+        )
+    elif test_n is not None:
         # --test N (reference __init__.py:2389-2391): take the first N
         # (meta)tile coords in enumeration order.  Driver-side so the
         # cut is deterministic regardless of block scheduling.
