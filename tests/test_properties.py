@@ -144,3 +144,49 @@ def test_clip_bounds_within_box(cx, cy, half):
         b = clipped.bounds
         assert b[0] >= 300 - 1e-9 and b[2] <= 600 + 1e-9
         assert b[1] >= 300 - 1e-9 and b[3] <= 600 + 1e-9
+
+
+# --- proj engine properties -------------------------------------------------
+
+from tilecloud_chain_ray.proj import Transformer, get_proj4_literal  # noqa: E402
+
+_LL = get_proj4_literal(4326)
+_PAIRS = [
+    (get_proj4_literal(3857), (-179.0, 179.0), (-80.0, 80.0)),
+    (get_proj4_literal(21781), (5.5, 10.5), (45.5, 48.0)),
+    (get_proj4_literal(2056), (5.5, 10.5), (45.5, 48.0)),
+    (get_proj4_literal(25832), (6.0, 12.0), (-80.0, 84.0)),
+    (get_proj4_literal(2154), (-4.5, 9.5), (41.0, 51.0)),
+]
+
+
+@given(st.integers(0, len(_PAIRS) - 1), st.floats(0, 1), st.floats(0, 1))
+@settings(max_examples=150, deadline=None)
+def test_proj_roundtrip_within_domain(idx, fx, fy):
+    """inverse(forward(p)) == p to sub-micro-degree inside each CRS's
+    domain of validity."""
+    lit, (lo_x, hi_x), (lo_y, hi_y) = _PAIRS[idx]
+    lon = lo_x + fx * (hi_x - lo_x)
+    lat = lo_y + fy * (hi_y - lo_y)
+    fwd = Transformer.from_proj4(_LL, lit)
+    inv = Transformer.from_proj4(lit, _LL)
+    x, y = fwd.transform(lon, lat)
+    lon2, lat2 = inv.transform(x, y)
+    # 2e-8 deg ~ 2 mm: a 2D datum shift assumes h=0 on EACH side of the
+    # Helmert leg (as pyproj does for 2D transforms), which leaves a
+    # ~1 mm roundtrip asymmetry wherever towgs84 is non-zero
+    assert abs(float(lon2) - lon) < 2e-8
+    assert abs(float(lat2) - lat) < 2e-8
+
+
+@given(st.floats(5.5, 10.5), st.floats(45.5, 48.0))
+@settings(max_examples=100, deadline=None)
+def test_proj_lv03_lv95_consistency(lon, lat):
+    """Going to LV03 vs LV95 from the same WGS84 point differs by the
+    exact false-origin offset."""
+    t03 = Transformer.from_proj4(_LL, get_proj4_literal(21781))
+    t95 = Transformer.from_proj4(_LL, get_proj4_literal(2056))
+    x3, y3 = t03.transform(lon, lat)
+    x5, y5 = t95.transform(lon, lat)
+    assert abs((float(x5) - float(x3)) - 2_000_000.0) < 1e-6
+    assert abs((float(y5) - float(y3)) - 1_000_000.0) < 1e-6

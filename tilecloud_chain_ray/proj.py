@@ -202,7 +202,7 @@ class _Mercator:
         t = np.exp(-(np.asarray(y, np.float64) - self.y0) / ak)
         lat = HALFPI - 2 * np.arctan(t)
         if self.es:
-            for _ in range(8):
+            for _ in range(12):
                 esin = self.e * np.sin(lat)
                 lat = HALFPI - 2 * np.arctan(
                     t * ((1 - esin) / (1 + esin)) ** (self.e / 2)
@@ -272,7 +272,7 @@ class _SwissObliqueMercator:
         # q(lat) = (log tan(pi/4+phip/2) - K) / c
         t = (np.log(np.tan(FORTPI + phip / 2)) - self.K) / self.c
         lat = phip
-        for _ in range(8):
+        for _ in range(12):
             esin = self.e * np.sin(lat)
             lat = (
                 2
@@ -427,7 +427,7 @@ class _LambertConformalConic:
         lon = theta / self.n + self.lon0
         tt = (rho / (self.a * self.F)) ** (1.0 / self.n)
         lat = HALFPI - 2 * np.arctan(tt)
-        for _ in range(8):
+        for _ in range(12):
             esin = self.e * np.sin(lat)
             lat = HALFPI - 2 * np.arctan(
                 tt * ((1 - esin) / (1 + esin)) ** (self.e / 2)
@@ -468,7 +468,7 @@ def _xyz_to_geodetic(X, Y, Z, a, es):
     lon = np.arctan2(Y, X)
     p = np.hypot(X, Y)
     lat = np.arctan2(Z, p * (1 - es))
-    for _ in range(8):
+    for _ in range(12):
         sl = np.sin(lat)
         N = a / np.sqrt(1 - es * sl * sl)
         lat = np.arctan2(Z + es * N * sl, p)

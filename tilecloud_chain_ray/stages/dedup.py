@@ -210,20 +210,27 @@ def _expand_hot_bucket_pairs(
     from ray.data.aggregate import Count
 
     hot = banded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="c"))
-    hot_keys = {
-        (r["band"], r["band_hash"]) for r in hot.take_all() if r["c"] >= 2
-    }
-    if not hot_keys:
+    hot_rows = hot.take_all()
+    hot_packed = np.sort(
+        np.array(
+            [_pack_band_key(r["band"], r["band_hash"]) for r in hot_rows if r["c"] >= 2],
+            dtype=np.uint64,
+        )
+    )
+    if not len(hot_packed):
         return _empty_pairs(with_jaccard=False)
-    hot_ref = ray.put(hot_keys)
+    hot_ref = ray.put(hot_packed)
 
     def only_hot(batch: pa.Table) -> pa.Table:
         hk = ray.get(hot_ref)
-        b = batch["band"].to_numpy(zero_copy_only=False)
-        h = batch["band_hash"].to_numpy(zero_copy_only=False)
-        keep = np.fromiter(
-            ((int(bb), int(hh)) in hk for bb, hh in zip(b, h)), dtype=bool, count=len(b)
-        )
+        b = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        packed = _pack_band_keys(b, h)
+        # sorted-array membership: one vectorized searchsorted, no
+        # per-row Python (the prior set-lookup loop was the hot path)
+        idx = np.searchsorted(hk, packed)
+        idx = np.clip(idx, 0, len(hk) - 1)
+        keep = hk[idx] == packed
         return batch.filter(pa.array(keep))
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -254,6 +261,24 @@ def _expand_hot_bucket_pairs(
         .map_batches(
             lambda b: b.select(["key_a", "key_b"]), batch_format="pyarrow"
         )
+    )
+
+
+def _pack_band_key(band: int, band_hash: int) -> np.uint64:
+    """(band, band_hash) -> one uint64 FILTER key: band in the top 16
+    bits, the hash's low 48 bits below.  Lossy (drops 15 hash bits) but
+    only in the safe direction: used exclusively by the hot-bucket
+    PREFILTER, where a collision admits an extra row that then lands in
+    its true (band, band_hash) group downstream and pairs with nothing —
+    false positives allowed, false negatives impossible."""
+    return (np.uint64(band) << np.uint64(48)) | (
+        np.uint64(band_hash) & np.uint64((1 << 48) - 1)
+    )
+
+
+def _pack_band_keys(band: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
+    return (band.astype(np.uint64) << np.uint64(48)) | (
+        band_hash.astype(np.uint64) & np.uint64((1 << 48) - 1)
     )
 
 
