@@ -169,8 +169,6 @@ def minhash_candidates(
     (band, band_hash) pair — salting is inherent (16 bands spread hot
     content), buckets are tiny unless texts are truly identical.
     """
-    from ray.data.aggregate import Count
-
     from tilecloud_chain_ray.util import process_cached
 
     params = (key_col, text_col, num_perm, bands)
@@ -195,72 +193,111 @@ def minhash_candidates(
 
 
 def _expand_hot_bucket_pairs(
-    banded: ray.data.Dataset, max_bucket: int = 10_000
+    banded: ray.data.Dataset, max_bucket: int = 10_000, n_buckets: int = 256
 ) -> ray.data.Dataset:
     """Distinct (key_a < key_b) candidate pairs from a materialized
     (key, band, band_hash) table — fully distributed.
 
-    Most buckets are singletons: a vectorized aggregate finds the hot
-    (band, band_hash) buckets, that tiny set is broadcast, and the
-    quadratic pair expansion runs per bucket in ``map_groups``.
-    Buckets above ``max_bucket`` members are skipped WITH a warning
-    (their pairs are not reported — they are degenerate near-identical
-    content better handled by exact dedup first).
+    ONE bucketed shuffle: every band row goes to
+    ``hash(band, band_hash) % n_buckets``; each of the ~``n_buckets``
+    groups finds its (band, band_hash) runs vectorized (lexsort + run
+    boundaries) and expands pairs for runs of >= 2 members.  A
+    pre-aggregate "hot bucket" detection pass was measured strictly
+    slower on Ray (its groupby shuffles the same rows without reducing
+    them — 2.7M near-unique keys — and one Ray group per key costs
+    ~1 ms of map_groups overhead).  Buckets above ``max_bucket``
+    members are skipped WITH a warning (their pairs are not reported —
+    degenerate near-identical content better handled by exact dedup
+    first).  Bump ``n_buckets`` with cluster size.
     """
-    from ray.data.aggregate import Count
 
-    hot = banded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="c"))
-    hot_rows = hot.take_all()
-    hot_packed = np.sort(
-        np.array(
-            [_pack_band_key(r["band"], r["band_hash"]) for r in hot_rows if r["c"] >= 2],
-            dtype=np.uint64,
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        packed = _pack_band_keys(
+            batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64),
         )
-    )
-    if not len(hot_packed):
-        return _empty_pairs(with_jaccard=False)
-    hot_ref = ray.put(hot_packed)
+        with np.errstate(over="ignore"):
+            bucket = (
+                packed * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(40)
+            ) % np.uint64(n_buckets)
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
 
-    def only_hot(batch: pa.Table) -> pa.Table:
-        hk = ray.get(hot_ref)
-        b = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        packed = _pack_band_keys(b, h)
-        # sorted-array membership: one vectorized searchsorted, no
-        # per-row Python (the prior set-lookup loop was the hot path)
-        idx = np.searchsorted(hk, packed)
-        idx = np.clip(idx, 0, len(hk) - 1)
-        keep = hk[idx] == packed
-        return batch.filter(pa.array(keep))
-
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ks = np.sort(group["key"].unique())
-        if len(ks) < 2:
-            return pd.DataFrame({"key_a": [], "key_b": []})
-        if len(ks) > max_bucket:
+    def pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        """All (key_a < key_b) pairs of every (band, band_hash) run in
+        this bucket — one fully vectorized pass (a Python loop over the
+        ~10k runs per bucket was the wall-time hot spot: millions of
+        tiny np.unique calls across buckets)."""
+        empty = pd.DataFrame(
+            {"key_a": pd.Series([], dtype=np.int64),
+             "key_b": pd.Series([], dtype=np.int64)}
+        )
+        band = group["band"].to_numpy().astype(np.int64)
+        bhash = group["band_hash"].to_numpy().astype(np.int64)
+        key = group["key"].to_numpy().astype(np.int64)
+        n = len(band)
+        if n < 2:
+            return empty
+        order = np.lexsort((key, bhash, band))
+        band, bhash, key = band[order], bhash[order], key[order]
+        boundary = (band[1:] != band[:-1]) | (bhash[1:] != bhash[:-1])
+        starts = np.flatnonzero(np.r_[True, boundary])
+        lengths = np.diff(np.r_[starts, n])
+        run_of = np.repeat(np.arange(len(starts)), lengths)
+        pos = np.arange(n) - starts[run_of]  # position within the run
+        # rows are unique per (key, band): keys within a run are
+        # distinct and sorted, so each row pairs with the `pos` rows
+        # before it in its run — no per-run dedup needed
+        npairs = pos.copy()
+        oversized = lengths > max_bucket
+        if oversized.any():
             logger.warning(
-                "skipping LSH bucket with %d members (> max_bucket=%d); "
-                "its pairs are NOT reported",
-                len(ks),
+                "skipping %d LSH bucket(s) larger than max_bucket=%d "
+                "(largest: %d members); their pairs are NOT reported",
+                int(oversized.sum()),
                 max_bucket,
+                int(lengths.max()),
             )
-            return pd.DataFrame({"key_a": [], "key_b": []})
-        ia, ib = np.triu_indices(len(ks), k=1)
-        return pd.DataFrame({"key_a": ks[ia], "key_b": ks[ib]})
+            npairs[oversized[run_of]] = 0
+        total = int(npairs.sum())
+        if total == 0:
+            return empty
+        right = np.repeat(np.arange(n), npairs)
+        cum = np.concatenate([[0], np.cumsum(npairs)])
+        k = np.arange(total) - cum[right]
+        left = right - pos[right] + k  # run start + k-th earlier member
+        return pd.DataFrame({"key_a": key[left], "key_b": key[right]})
 
     cand = (
-        banded.map_batches(only_hot, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(pairs, batch_format="pandas")
+        banded.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
     )
 
-    # global pair dedup: one vectorized aggregate instead of per-key groups
-    return (
-        cand.groupby(["key_a", "key_b"])
-        .aggregate(Count(alias_name="_c"))
-        .map_batches(
-            lambda b: b.select(["key_a", "key_b"]), batch_format="pyarrow"
+    # global pair dedup, bucketed: a direct two-column groupby-aggregate
+    # over the raw pairs measured ~60 s where this takes ~2 s — Ray's
+    # sort-based groupby pays per distinct key, so always group by a
+    # small salted bucket and dedup vectorized inside it
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        ka = batch["key_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        kb = batch["key_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = (ka * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                kb * np.uint64(0xC2B2AE3D27D4EB4F)
+            )
+            bucket = (mixed >> np.uint64(40)) % np.uint64(n_buckets)
+        return batch.append_column(
+            "pbucket", pa.array(bucket.astype(np.int64), pa.int64())
         )
+
+    def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return group[["key_a", "key_b"]].drop_duplicates()
+
+    return (
+        cand.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
     )
 
 
@@ -431,40 +468,54 @@ def shingle_sig_table(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    k = keys.astype(np.uint64)
+    return (((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(n_buckets)).astype(
+        np.int64
+    )
+
+
 def _verify_pairs_distributed(
     candidate_pairs: ray.data.Dataset,
     sigs: ray.data.Dataset,
     threshold: float,
+    n_buckets: int = 256,
 ) -> ray.data.Dataset:
     """Exact Jaccard over candidate pairs with NO driver materialization.
 
-    Two shuffles: (1) groupby join key attaches each doc's shingle sig
-    to every pair-half that references it; (2) groupby (key_a, key_b)
-    re-unites the two halves and computes exact Jaccard on the sorted
-    uint64 arrays.  Only (int64 keys + sig arrays of the candidate
-    universe) move — scale-shaped for dup-heavy corpora where the
-    driver broadcast would OOM.
+    Two bucketed shuffles (``hash(key) % n_buckets`` — NEVER one Ray
+    group per key/pair, which costs ~1 ms per tiny group): (1) each
+    bucket maps its pair-halves against its sig rows via one
+    bucket-local dict, attaching each doc's shingle sig to every
+    half referencing it; (2) buckets of ``hash(key_a) % B`` re-unite
+    the halves and compute exact Jaccard per pair on the sorted uint64
+    arrays.  Only int64 keys + the candidate universe's sig arrays
+    move.  Bump ``n_buckets`` for larger clusters / hotter keys.
     """
 
     def halves(batch: pa.Table) -> pa.Table:
-        a = batch["key_a"]
-        b = batch["key_b"]
+        a = batch["key_a"].combine_chunks()
+        b = batch["key_b"].combine_chunks()
         n = batch.num_rows
-        empty_sig = pa.array([None] * (2 * n), pa.list_(pa.uint64()))
+        jkey = pa.concat_arrays([a, b])
+        bucket = _bucket_of(np.asarray(jkey), n_buckets)
         return pa.Table.from_pydict(
             {
-                "jkey": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
-                "key_a": pa.concat_arrays([a.combine_chunks(), a.combine_chunks()]),
-                "key_b": pa.concat_arrays([b.combine_chunks(), b.combine_chunks()]),
+                "bucket": pa.array(bucket, pa.int64()),
+                "jkey": jkey,
+                "key_a": pa.concat_arrays([a, a]),
+                "key_b": pa.concat_arrays([b, b]),
                 "side": pa.array([0] * n + [1] * n, pa.int8()),
-                "sig": empty_sig,
+                "sig": pa.array([None] * (2 * n), pa.list_(pa.uint64())),
             }
         )
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        keys = batch["key"].to_numpy(zero_copy_only=False)
         return pa.Table.from_pydict(
             {
+                "bucket": pa.array(_bucket_of(keys, n_buckets), pa.int64()),
                 "jkey": batch["key"],
                 "key_a": pa.nulls(n, pa.int64()),
                 "key_b": pa.nulls(n, pa.int64()),
@@ -477,66 +528,67 @@ def _verify_pairs_distributed(
         sigs.map_batches(sig_rows, batch_format="pyarrow")
     )
 
-    def attach(group: pd.DataFrame) -> pd.DataFrame:
+    def attach_bucket(group: pd.DataFrame) -> pd.DataFrame:
         is_sig = group["side"] == 2
         pair_halves = group[~is_sig]
         if pair_halves.empty:
             return pd.DataFrame(
-                {"key_a": pd.Series([], dtype=np.int64),
+                {"pkey": pd.Series([], dtype=np.int64),
+                 "key_a": pd.Series([], dtype=np.int64),
                  "key_b": pd.Series([], dtype=np.int64),
                  "side": pd.Series([], dtype=np.int8),
                  "sig": pd.Series([], dtype=object)}
             )
-        sig_row = group[is_sig]
-        sig = (
-            np.asarray(sig_row.iloc[0]["sig"], dtype=np.uint64)
-            if len(sig_row)
-            else np.array([], dtype=np.uint64)
-        )
+        sig_map = dict(zip(group.loc[is_sig, "jkey"], group.loc[is_sig, "sig"]))
+        empty = np.array([], dtype=np.uint64)
+        sigs_out = [sig_map.get(jk, empty) for jk in pair_halves["jkey"]]
+        ka = pair_halves["key_a"].to_numpy(dtype=np.int64)
+        kb = pair_halves["key_b"].to_numpy(dtype=np.int64)
         return pd.DataFrame(
             {
-                "key_a": pair_halves["key_a"].to_numpy(dtype=np.int64),
-                "key_b": pair_halves["key_b"].to_numpy(dtype=np.int64),
+                # re-bucket by pair (via key_a: both halves share it)
+                "pkey": _bucket_of(ka, n_buckets)
+                + (kb % np.int64(n_buckets)) * np.int64(n_buckets),
+                "key_a": ka,
+                "key_b": kb,
                 "side": pair_halves["side"].to_numpy(dtype=np.int8),
-                "sig": [sig] * len(pair_halves),
+                "sig": sigs_out,
             }
         )
 
-    attached = tagged.groupby("jkey").map_groups(attach, batch_format="pandas")
+    attached = tagged.groupby("bucket").map_groups(attach_bucket, batch_format="pandas")
 
-    def combine(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"key_a": pd.Series([], dtype=np.int64),
-             "key_b": pd.Series([], dtype=np.int64),
-             "jaccard": pd.Series([], dtype=np.float64)}
-        )
-        sa = sb = None
-        for _, row in group.iterrows():
-            arr = np.asarray(row["sig"], dtype=np.uint64)
-            if row["side"] == 0:
-                sa = arr
-            else:
-                sb = arr
-        if sa is None:
-            sa = np.array([], np.uint64)
-        if sb is None:
-            sb = np.array([], np.uint64)
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        j = inter / union if union else 0.0
-        if j < threshold:
-            return empty
+    def combine_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for (ka, kb), g in group.groupby(["key_a", "key_b"], sort=False):
+            sa = sb = None
+            sides = g["side"].to_numpy()
+            sig_vals = g["sig"].to_numpy()
+            for s, arr in zip(sides, sig_vals):
+                if s == 0:
+                    sa = np.asarray(arr, dtype=np.uint64)
+                else:
+                    sb = np.asarray(arr, dtype=np.uint64)
+            if sa is None:
+                sa = np.array([], np.uint64)
+            if sb is None:
+                sb = np.array([], np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                out_a.append(ka)
+                out_b.append(kb)
+                out_j.append(j)
         return pd.DataFrame(
             {
-                "key_a": np.array([group.iloc[0]["key_a"]], dtype=np.int64),
-                "key_b": np.array([group.iloc[0]["key_b"]], dtype=np.int64),
-                "jaccard": np.array([j], dtype=np.float64),
+                "key_a": np.array(out_a, dtype=np.int64),
+                "key_b": np.array(out_b, dtype=np.int64),
+                "jaccard": np.array(out_j, dtype=np.float64),
             }
         )
 
-    return attached.groupby(["key_a", "key_b"]).map_groups(
-        combine, batch_format="pandas"
-    )
+    return attached.groupby("pkey").map_groups(combine_bucket, batch_format="pandas")
 
 
 def verify_jaccard(
@@ -674,8 +726,6 @@ def simhash_candidates(
         batch_format="pyarrow",
     )
 
-    from ray.data.aggregate import Count, Min
-
     def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
         ks = g[key_col].to_numpy()
@@ -738,6 +788,8 @@ def simhash_candidates(
             )
         )
 
+    from ray.data.aggregate import Count
+
     parts = []
     for blk in range(4):
         col = f"simhash_b{blk}"
@@ -765,9 +817,32 @@ def simhash_candidates(
             )
         )
     allp = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+
+    # bucketed pair dedup (min hamming per pair): Ray's two-column
+    # sort groupby pays per distinct key — salt to 256 buckets and
+    # reduce vectorized inside each (same lesson as the minhash path)
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        ka = batch["key_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        kb = batch["key_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = (ka * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                kb * np.uint64(0xC2B2AE3D27D4EB4F)
+            )
+            bucket = (mixed >> np.uint64(40)) % np.uint64(256)
+        return batch.append_column(
+            "pbucket", pa.array(bucket.astype(np.int64), pa.int64())
+        )
+
+    def min_ham_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return (
+            group.groupby(["key_a", "key_b"], sort=False, as_index=False)["hamming"]
+            .min()
+        )
+
     return (
-        allp.groupby(["key_a", "key_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+        allp.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(min_ham_bucket, batch_format="pandas")
     )
 
 
