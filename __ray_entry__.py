@@ -77,6 +77,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q.q_sessionize,
         "sparse_metatile_counts": q.q_sparse_metatile_counts,
         "geom_filter_counts": q.q_geom_filter_counts,
+        "vocab_topk": q.q_vocab_topk,
+        "stratified_sample": q.q_stratified_sample,
+        "token_quantiles": q.q_token_quantiles,
+        "ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
+        "decontam_counts": q.q_decontam_counts,
+        "redaction_stats": q.q_redaction_stats,
+        "knn_ivf_exact": q.q_knn_ivf_exact,
         # rows-only (non-SQL-expressible) checks
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
@@ -92,8 +99,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# distinct word-3-gram shingle strings of trim(text) (short texts ->
+# their single joined form) — mirrors stages/curation.word_ngrams
+_SHINGLES_SQL = r"""
+    list_distinct(CASE
+        WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 3
+        THEN list_transform(
+                 generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                 i -> regexp_split_to_array(trim(text), '\s+')[i] || ' '
+                   || regexp_split_to_array(trim(text), '\s+')[i+1] || ' '
+                   || regexp_split_to_array(trim(text), '\s+')[i+2])
+        ELSE [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+    END)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     zoom_dims_values = ", ".join(f"({z}, {w}, {h})" for z, (w, h) in ZOOM_DIMS.items())
+    from tilecloud_chain_ray.queries import SAMPLE_RATES
+
+    sample_case = " ".join(
+        f"WHEN '{lang}' THEN {int(rate * 4294967296)}"
+        for lang, rate in SAMPLE_RATES.items()
+    )
+    knn_sql = """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+            s AS (
+                SELECT q.qid AS query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS score
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, rank FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+                FROM s
+            ) WHERE rank <= 5
+        """
     w3, h3 = ZOOM_DIMS[3]
     w2, h2 = ZOOM_DIMS[2]
     span2 = 256 * 20  # z2 span in meters (res 20)
@@ -151,19 +192,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 'east' FROM documents WHERE {UX} >= 2147483648
         """,
-        "knn_cosine": """
-            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-            s AS (
-                SELECT q.qid AS query_id, e.vec_id,
-                       list_cosine_similarity(q.qe, e.embedding) AS score
-                FROM embeddings e CROSS JOIN q
-            )
-            SELECT query_id, vec_id, rank FROM (
-                SELECT query_id, vec_id,
-                       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
-                FROM s
-            ) WHERE rank <= 5
-        """,
+        "knn_cosine": knn_sql,
         "dedup_exact": """
             SELECT md5(text) AS content_md5,
                    min(doc_id) AS keep_key,
@@ -359,6 +388,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT z, count(*) AS n_metatiles FROM hit GROUP BY z
         """,
+        "vocab_topk": r"""
+            SELECT token, n FROM (
+                SELECT token, count(*) AS n,
+                       row_number() OVER (ORDER BY count(*) DESC, token ASC) AS r
+                FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                      FROM documents)
+                GROUP BY token
+            ) WHERE r <= 50
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {UX} < CASE lang {sample_case} ELSE 0 END
+        """,
+        "token_quantiles": r"""
+            SELECT lang,
+                   quantile_disc(n, 0.5) AS p50,
+                   quantile_disc(n, 0.9) AS p90,
+                   quantile_disc(n, 0.99) AS p99
+            FROM (SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS n
+                  FROM documents)
+            GROUP BY lang
+        """,
+        # word-3-gram shingle strings via a list_transform lambda — the
+        # exact string form stages/curation.word_ngrams produces
+        "ngram_jaccard_pairs": rf"""
+            WITH sh AS (
+                SELECT doc_id, {_SHINGLES_SQL} AS sset
+                FROM documents WHERE doc_id < 101
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   len(list_intersect(a.sset, b.sset)) * 1.0
+                   / (len(a.sset) + len(b.sset)
+                      - len(list_intersect(a.sset, b.sset))) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 2 = 0
+        """,
+        "decontam_counts": rf"""
+            WITH sh AS (
+                SELECT doc_id, lang, unnest({_SHINGLES_SQL}) AS s
+                FROM documents
+            ),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5)
+            SELECT lang, count(DISTINCT doc_id) AS n_contaminated
+            FROM sh WHERE doc_id >= 5 AND s IN (SELECT s FROM bench)
+            GROUP BY lang
+        """,
+        "redaction_stats": r"""
+            SELECT lang,
+                   CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+                       AS sum_redactions,
+                   CAST(sum(CASE WHEN len(regexp_extract_all(text, '[0-9]+')) > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched
+            FROM documents GROUP BY lang
+        """,
+        "knn_ivf_exact": knn_sql,
         "sessionize": """
             WITH gaps AS (
                 SELECT user_id,

@@ -810,3 +810,120 @@ def q_media_pipeline(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation (stages/curation.py) — all with exact DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_topk(sf_dir: str) -> ray.data.Dataset:
+    """Top-50 whitespace tokens globally (vocabulary statistics)."""
+    from tilecloud_chain_ray.stages.curation import vocab_topk
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return vocab_topk(docs, k=50)
+
+
+# per-stratum deterministic sampling rates (mirrored in the oracle SQL)
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.125, "it": 0.0625}
+
+
+def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic per-lang hash sample: the kept (doc_id, lang) rows."""
+    from tilecloud_chain_ray.stages.curation import hash_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return hash_sample(docs, SAMPLE_RATES, key_col="doc_id", strat_col="lang")
+
+
+def q_token_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-lang p50/p90/p99 of token counts via count-compressed
+    histograms (quantile_disc semantics)."""
+    from tilecloud_chain_ray.stages.curation import grouped_quantiles
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    counted = docs.map_batches(
+        lambda b: token_count_batch(b).select(["lang", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    return grouped_quantiles(counted, "lang", "n_tokens", qs=(0.5, 0.9, 0.99))
+
+
+def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """Exact word-3-gram Jaccard for the 50 adjacent even/odd doc pairs
+    under doc_id 100 (the n-gram verify operator with a SQL oracle)."""
+    from tilecloud_chain_ray.stages.curation import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = [(a, a + 1) for a in range(0, 100, 2)]
+    return ngram_jaccard_pairs(docs, pairs, n=3)
+
+
+def q_decontam_counts(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination: per-lang count of corpus docs
+    (doc_id >= 5) sharing any word-3-gram with the doc_id < 5 'eval
+    set'."""
+    from ray.data.aggregate import Count
+
+    from tilecloud_chain_ray.stages.curation import benchmark_shingles, decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    bench = benchmark_shingles(docs, max_key=5, n=3)
+    flagged = decontaminate(docs, bench, n=3)
+
+    def corpus_hits(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch["doc_id"], 5), batch["contaminated"]
+        )
+        return batch.select(["lang"]).filter(mask)
+
+    return (
+        flagged.map_batches(corpus_hits, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_contaminated"))
+    )
+
+
+def q_redaction_stats(sf_dir: str) -> ray.data.Dataset:
+    """Number-scrubbing pass: per-lang total redactions + docs touched."""
+    from ray.data.aggregate import Count, Sum
+
+    from tilecloud_chain_ray.stages.text import redact_batch
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        red = redact_batch(batch)
+        touched = pc.greater(red["n_redactions"], 0).cast(pa.int64())
+        out = red.select(["lang", "n_redactions"])
+        return out.append_column("touched", touched)
+
+    return (
+        docs.map_batches(stats, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_redactions", alias_name="sum_redactions"),
+            Sum("touched", alias_name="n_docs_touched"),
+        )
+    )
+
+
+def q_knn_ivf_exact(sf_dir: str) -> ray.data.Dataset:
+    """IVF with nprobe = n_lists: every list probed -> exact top-k, so
+    the ANN index path shares the brute-force oracle."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(
+        (
+            (r["vec_id"], r["embedding"])
+            for r in emb.map_batches(
+                lambda b: b.filter(pc.less(b["vec_id"], 5)), batch_format="pyarrow"
+            ).take_all()
+        )
+    )
+    qids = np.array([r[0] for r in qrows])
+    qvecs = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    out = knn_mod.knn_ivf(
+        emb, qvecs, k=5, key_col="vec_id", query_ids=qids, n_lists=16, nprobe=16
+    )
+    return out.select_columns(["query_id", "vec_id", "rank"])

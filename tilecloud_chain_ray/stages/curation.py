@@ -1,0 +1,292 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Beyond-the-reference operators (SURVEY.md §2 additions, same family as
+stages/text.py): vocabulary statistics, deterministic stratified
+sampling, exact grouped quantiles, word-n-gram Jaccard scoring and
+benchmark decontamination.  Each has an exact DuckDB oracle in
+``__ray_entry__.oracle_sql`` — the shingling here deliberately uses the
+*string* form of word n-grams (not the crc shingle hashes of
+stages/dedup.py) so SQL can reproduce it with a list_transform lambda.
+
+Scale notes per operator are in the docstrings; the shared principles:
+partial-aggregate inside ``map_batches`` before any ``groupby``,
+broadcast small sides once with ``ray.put``, and never materialize a
+corpus-proportional table on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Sum
+
+from tilecloud_chain_ray.functions.hashing import MICRO, UX_MULT
+
+TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(batch_text: pa.ChunkedArray | pa.Array) -> pa.ListArray:
+    """Whitespace token lists of trimmed text — identical to DuckDB's
+    ``regexp_split_to_array(trim(text), '\\s+')`` (empty text -> [''])."""
+    return pc.split_pattern_regex(pc.utf8_trim_whitespace(batch_text), TOKEN_SPLIT)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary statistics
+# ---------------------------------------------------------------------------
+
+
+def vocab_topk(
+    ds: ray.data.Dataset, k: int = 50, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Global top-k most frequent whitespace tokens: (token, n), ties
+    broken by ascending token.
+
+    Scale shape: per-batch ``value_counts`` combiner (the only stage
+    that sees full text), a vocab-keyed ``groupby().sum`` (keys =
+    vocabulary size, values pre-combined per block — the unavoidable
+    exchange), then per-block top-k partials (each block emits <= k
+    rows, valid because counts are final after the sum) merged by one
+    single-group ``map_groups``.
+    """
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(_tokens(batch[text_col]))
+        vc = pc.value_counts(toks)
+        return pa.Table.from_pydict(
+            {
+                "token": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["n", "token"], ascending=[False, True]).head(k)
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.append_column("_g", pa.array(np.zeros(len(out), dtype=np.int64)))
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["n", "token"], ascending=[False, True]).head(k)
+        return g[["token", "n"]].reset_index(drop=True)
+
+    partials = counts.map_batches(block_topk, batch_format="pyarrow")
+    return partials.groupby("_g").map_groups(final_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def hash_sample(
+    ds: ray.data.Dataset,
+    rates: dict[str, float] | float,
+    key_col: str = "doc_id",
+    strat_col: str = "lang",
+    keep_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Deterministic (resumable, cluster-size-independent) downsampling:
+    keep a row iff ``(key * 2654435761) mod 2^32 < rate * 2^32``, with
+    ``rate`` per stratum when ``rates`` is a dict.
+
+    Pure vectorized filter — no shuffle, no state; the exact property a
+    100-TB sampling pass needs (same keep-set regardless of block
+    layout or retries).  SQL-reproducible in integer arithmetic.
+    """
+    thresholds = (
+        {s: int(r * MICRO) for s, r in rates.items()}
+        if isinstance(rates, dict)
+        else int(rates * MICRO)
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * UX_MULT) % MICRO
+        if isinstance(thresholds, dict):
+            strat = batch[strat_col].to_pylist()
+            thr = np.fromiter(
+                (thresholds.get(s, 0) for s in strat), dtype=np.int64, count=len(strat)
+            )
+        else:
+            thr = thresholds
+        mask = h < thr
+        out = batch if keep_cols is None else batch.select(keep_cols)
+        return out.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact grouped quantiles via count compression
+# ---------------------------------------------------------------------------
+
+
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    out_names: tuple[str, ...] | None = None,
+) -> ray.data.Dataset:
+    """Exact discrete quantiles per group (DuckDB ``quantile_disc``
+    semantics: the element at sorted index ``ceil(q*n) - 1``).
+
+    Scale shape: the full data collapses to a (group, value) -> count
+    table inside ``map_batches`` (distinct-value-bounded, e.g. token
+    counts have ~10^3 distinct values no matter the corpus size), the
+    groupby sums those partials, and each group's quantile walk runs on
+    its compressed histogram in ``map_groups`` — no sort of the raw
+    data, no driver materialization.
+    """
+    if out_names is None:
+        out_names = tuple(f"p{int(q * 100)}" for q in qs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, value_col]).to_pandas()
+        g = df.groupby([group_col, value_col], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, value_col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def quantiles(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(value_col)
+        vals = g[value_col].to_numpy()
+        cum = g["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row = {group_col: group[group_col].iloc[0]}
+        for q, name in zip(qs, out_names):
+            idx = max(int(np.ceil(q * n)) - 1, 0)
+            row[name] = vals[np.searchsorted(cum, idx + 1)]
+        return pd.DataFrame([row])
+
+    return hist.groupby(group_col).map_groups(quantiles, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# word-n-gram shingle helpers (string form, SQL-reproducible)
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(text: str, n: int = 3) -> set[str]:
+    """Distinct word n-gram strings of whitespace-trimmed ``text``;
+    texts shorter than ``n`` words yield their single joined form
+    (mirrors the oracle's list_transform lambda exactly)."""
+    ws = text.strip().split() if text.strip() else [""]
+    if len(ws) < n:
+        return {" ".join(ws)}
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    pairs: list[tuple[int, int]],
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> pa.Table:
+    """Exact word-n-gram Jaccard for an explicit (small) pair list:
+    (a, b, jaccard).
+
+    Contract: ``pairs`` is the small side (an upstream candidate
+    generator's output — cf. stages/dedup.verify_jaccard for the
+    corpus-proportional variant, which verifies through bucketed
+    shuffles).  Only rows whose key appears in a pair are pulled
+    (vectorized semi-join filter), so driver memory is O(|pairs|).
+    """
+    needed = sorted({k for p in pairs for k in p})
+    needed_arr = pa.array(needed, pa.int64())
+
+    def only_needed(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[key_col], value_set=needed_arr)
+        return batch.select([key_col, text_col]).filter(mask)
+
+    rows = ds.map_batches(only_needed, batch_format="pyarrow").take_all()
+    sets = {r[key_col]: word_ngrams(r[text_col], n) for r in rows}
+    a_out, b_out, jac = [], [], []
+    for a, b in pairs:
+        sa, sb = sets.get(a, set()), sets.get(b, set())
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        a_out.append(a)
+        b_out.append(b)
+        jac.append(inter * 1.0 / union if union else 0.0)
+    return pa.Table.from_pydict(
+        {
+            "a": pa.array(a_out, pa.int64()),
+            "b": pa.array(b_out, pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    bench_shingles: frozenset[str] | set[str],
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    flag_col: str = "contaminated",
+) -> ray.data.Dataset:
+    """Flag documents sharing any word-n-gram with a benchmark set —
+    the standard eval-decontamination pass of an LLM data pipeline.
+
+    The benchmark shingle set is broadcast once (``ray.put``) and read
+    per actor, never re-shipped per batch; per-doc shingling is the
+    same string form the oracle reproduces.  Short-circuits on first
+    hit per document.
+    """
+    bench_ref = ray.put(frozenset(bench_shingles))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        texts = batch[text_col].to_pylist()
+        out = np.zeros(len(texts), dtype=bool)
+        for i, t in enumerate(texts):
+            ws = t.strip().split() if t.strip() else [""]
+            if len(ws) < n:
+                out[i] = " ".join(ws) in bench
+                continue
+            out[i] = any(
+                " ".join(ws[j : j + n]) in bench for j in range(len(ws) - n + 1)
+            )
+        return batch.append_column(flag_col, pa.array(out))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def benchmark_shingles(
+    ds: ray.data.Dataset,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    max_key: int = 5,
+    n: int = 3,
+) -> frozenset[str]:
+    """Benchmark shingle set from the (small, bounded) doc prefix
+    ``key < max_key`` — the 'eval set' side of decontamination."""
+    rows = ds.map_batches(
+        lambda b: b.select([key_col, text_col]).filter(pc.less(b[key_col], max_key)),
+        batch_format="pyarrow",
+    ).take_all()  # bounded by max_key rows by construction
+    out: set[str] = set()
+    for r in rows:
+        out |= word_ngrams(r[text_col], n)
+    return frozenset(out)

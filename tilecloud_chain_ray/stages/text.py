@@ -122,6 +122,26 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fps, pa.int64()))
 
 
+def redact_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    pattern: str = "[0-9]+",
+    replacement: str = "<NUM>",
+    out_col: str = "redacted",
+) -> pa.Table:
+    """Append ``n_redactions`` (non-overlapping pattern matches) and the
+    redacted text — the PII/number-scrubbing pass of a training-data
+    pipeline, pure RE2 kernels.
+
+    SQL equivalents: ``len(regexp_extract_all(text, pattern))`` and
+    ``regexp_replace(text, pattern, replacement, 'g')``.
+    """
+    n = pc.count_substring_regex(batch[text_col], pattern).cast(pa.int64())
+    red = pc.replace_substring_regex(batch[text_col], pattern, replacement)
+    out = batch.append_column("n_redactions", n)
+    return out.append_column(out_col, red)
+
+
 def analyze_documents(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """token count + lang id + quality in one vectorized pass."""
 
