@@ -1,0 +1,106 @@
+"""Unit tests for stages/curation.py — scale-relevant properties the
+oracle parity test can't see (block-layout independence, tie-breaks,
+crafted decontamination cases)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from tilecloud_chain_ray.stages.curation import (
+    benchmark_shingles,
+    decontaminate,
+    grouped_quantiles,
+    hash_sample,
+    ngram_jaccard_pairs,
+    vocab_topk,
+    word_ngrams,
+)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _docs(rows):
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_word_ngrams_short_and_long():
+    assert word_ngrams("a b c d", 3) == {"a b c", "b c d"}
+    assert word_ngrams("a b", 3) == {"a b"}
+    assert word_ngrams("  ", 3) == {""}
+    assert word_ngrams("x x x x", 3) == {"x x x"}  # distinct
+
+
+def test_hash_sample_block_layout_independent():
+    rows = [(i, "en" if i % 2 else "de", "t") for i in range(1000)]
+    one_block = _docs(rows)
+    many_blocks = _docs(rows).repartition(16)
+    rates = {"en": 0.3, "de": 0.7}
+    a = sorted(r["doc_id"] for r in hash_sample(one_block, rates).take_all())
+    b = sorted(r["doc_id"] for r in hash_sample(many_blocks, rates).take_all())
+    assert a == b and 0 < len(a) < 1000
+
+
+def test_grouped_quantiles_matches_numpy_disc():
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50, size=2000)
+    langs = np.where(rng.random(2000) < 0.5, "en", "de")
+    ds = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"lang": pa.array(langs.tolist()), "v": pa.array(vals, pa.int64())}
+        )
+    ).repartition(8)
+    out = {
+        r["lang"]: (r["p50"], r["p90"])
+        for r in grouped_quantiles(ds, "lang", "v", qs=(0.5, 0.9), out_names=("p50", "p90")).take_all()
+    }
+    for lang in ("en", "de"):
+        s = np.sort(vals[langs == lang])
+        for q, got in zip((0.5, 0.9), out[lang]):
+            idx = max(int(np.ceil(q * len(s))) - 1, 0)
+            assert got == s[idx], (lang, q)
+
+
+def test_vocab_topk_tiebreak_and_counts():
+    rows = [(i, "en", "b a a c b") for i in range(10)]
+    ds = _docs(rows).repartition(4)
+    out = vocab_topk(ds, k=2).take_all()
+    # counts: a=20, b=20, c=10 -> top2 = a,b (tie broken by token asc)
+    assert [(r["token"], r["n"]) for r in out] == [("a", 20), ("b", 20)]
+
+
+def test_decontaminate_crafted():
+    rows = [
+        (0, "en", "alpha beta gamma delta"),  # benchmark doc
+        (10, "en", "zzz alpha beta gamma yyy"),  # shares 'alpha beta gamma'
+        (11, "en", "beta gamma delta tail"),  # shares 'beta gamma delta'
+        (12, "en", "no overlap here at all"),
+        (13, "en", "alpha beta"),  # bigram only -> not a 3-gram hit
+    ]
+    ds = _docs(rows)
+    bench = benchmark_shingles(ds, max_key=5, n=3)
+    flagged = {r["doc_id"]: r["contaminated"] for r in decontaminate(ds, bench, n=3).take_all()}
+    assert flagged[10] and flagged[11]
+    assert not flagged[12] and not flagged[13]
+
+
+def test_ngram_jaccard_pairs_values():
+    rows = [
+        (0, "en", "a b c d"),  # shingles {a b c, b c d}
+        (1, "en", "b c d e"),  # shingles {b c d, c d e} -> jac 1/3
+        (2, "en", "x y z"),
+        (3, "en", "x y z"),  # identical -> 1.0
+    ]
+    tbl = ngram_jaccard_pairs(_docs(rows), [(0, 1), (2, 3)])
+    df = tbl.to_pandas().set_index("a")
+    assert df.loc[0, "jaccard"] == pytest.approx(1 / 3)
+    assert df.loc[2, "jaccard"] == 1.0
