@@ -26,7 +26,7 @@ from tilecloud_chain_ray.functions.hashing import micro_from_ids, micro_tile
 from tilecloud_chain_ray.geom import box
 from tilecloud_chain_ray.grid import SWISSGRID_5
 from tilecloud_chain_ray.stages.geocode import make_geocoder
-from tilecloud_chain_ray.stages.pip_join import PIPJoin
+from tilecloud_chain_ray.stages.pip_join import PIPJoin, pip_join_tasks
 from tilecloud_chain_ray.stages import dedup as dedup_mod
 from tilecloud_chain_ray.stages import knn as knn_mod
 from tilecloud_chain_ray.stages.text import (
@@ -191,31 +191,20 @@ def _geocoded_docs(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_pip_layer_counts(sf_dir: str) -> ray.data.Dataset:
-    joined = _geocoded_docs(sf_dir).map_batches(
-        PIPJoin,
-        fn_constructor_kwargs={"layers_ref": PIP_LAYERS, "mode": "left"},
-        batch_format="pyarrow",
-        concurrency=(1, 2),
-    )
+    # task-based: 3 boxes of broadcast state — actor pools only pay off
+    # for heavy polygon payloads (see stages/pip_join.pip_join_tasks)
+    joined = pip_join_tasks(_geocoded_docs(sf_dir), PIP_LAYERS, mode="left", cache_key="pip3")
     return joined.groupby("layer").aggregate(Count(alias_name="n"))
 
 
 def q_pip_join_rows(sf_dir: str) -> ray.data.Dataset:
-    joined = _geocoded_docs(sf_dir).map_batches(
-        PIPJoin,
-        fn_constructor_kwargs={"layers_ref": PIP_LAYERS, "mode": "left"},
-        batch_format="pyarrow",
-        concurrency=(1, 2),
-    )
+    joined = pip_join_tasks(_geocoded_docs(sf_dir), PIP_LAYERS, mode="left", cache_key="pip3")
     return joined.select_columns(["doc_id", "layer"])
 
 
 def q_pip_inner_pairs(sf_dir: str) -> ray.data.Dataset:
-    joined = _geocoded_docs(sf_dir).map_batches(
-        PIPJoin,
-        fn_constructor_kwargs={"layers_ref": PIP_LAYERS, "mode": "inner"},
-        batch_format="pyarrow",
-        concurrency=(1, 2),
+    joined = pip_join_tasks(
+        _geocoded_docs(sf_dir), PIP_LAYERS, mode="inner", cache_key="pip3i"
     )
     return joined.select_columns(["doc_id", "layer"])
 

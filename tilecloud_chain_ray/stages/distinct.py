@@ -42,18 +42,19 @@ def grouped_distinct_counts(
         g = batch[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
         k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         bucket = (k ^ (k >> np.int64(31))) % n_buckets
-        df = pd.DataFrame({"g": g, "b": bucket, "k": k})
-        rows_g, rows_b, rows_keys, rows_n = [], [], [], []
-        for (gv, bv), sub in df.groupby(["g", "b"], sort=False):
+        # single packed shuffle key (g * n_buckets + b): Ray's sort-based
+        # groupby is measurably faster on one int64 column than on two
+        gb = g * n_buckets + bucket
+        df = pd.DataFrame({"gb": gb, "k": k})
+        rows_gb, rows_keys, rows_n = [], [], []
+        for gbv, sub in df.groupby("gb", sort=False):
             uniq = np.unique(sub["k"].to_numpy())
-            rows_g.append(gv)
-            rows_b.append(bv)
+            rows_gb.append(gbv)
             rows_keys.append(uniq)
             rows_n.append(len(sub))
         return pa.Table.from_pydict(
             {
-                "g": pa.array(rows_g, pa.int64()),
-                "b": pa.array(rows_b, pa.int64()),
+                "gb": pa.array(rows_gb, pa.int64()),
                 "keys": pa.array([a.tolist() for a in rows_keys], pa.list_(pa.int64())),
                 "rows": pa.array(rows_n, pa.int64()),
             }
@@ -66,13 +67,13 @@ def grouped_distinct_counts(
         distinct = len(np.unique(np.concatenate(arrays))) if arrays else 0
         return pd.DataFrame(
             {
-                "g": [group["g"].iloc[0]],
+                "g": [int(group["gb"].iloc[0]) // n_buckets],
                 "nd": [distinct],
                 "nr": [int(group["rows"].sum())],
             }
         )
 
-    partials = bundles.groupby(["g", "b"]).map_groups(merge, batch_format="pandas")
+    partials = bundles.groupby("gb").map_groups(merge, batch_format="pandas")
     out = partials.groupby("g").aggregate(
         Sum("nd", alias_name=count_col), Sum("nr", alias_name=rows_col)
     )

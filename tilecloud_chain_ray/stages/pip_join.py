@@ -144,3 +144,30 @@ def pip_join(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def pip_join_tasks(
+    ds: ray.data.Dataset,
+    layers: list[tuple[str, Geometry]],
+    mode: str = "left",
+    batch_size: int = 16384,
+    cache_key: str | None = None,
+    **kw,
+) -> ray.data.Dataset:
+    """Task-based PIP join for small/medium layer sets: the STRtree is
+    built once per worker process (``process_cached``) from a single
+    broadcast ``ray.put``, and Ray schedules the stage as ordinary
+    fused tasks on warm workers — no actor-pool spin-up (which costs
+    ~1-2 s flat and dominates small jobs).  Use :func:`pip_join`
+    (actor pool) when the broadcast geometry payload is heavy enough
+    that per-process rebuilds would hurt (many MB of polygons)."""
+    from tilecloud_chain_ray.util import process_cached
+
+    layers_ref = ray.put(layers)
+    key = ("pip_join_tasks", cache_key or id(layers), mode, tuple(sorted(kw.items())))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        st = process_cached(key, lambda: PIPJoin(layers_ref, mode=mode, **kw))
+        return st(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
