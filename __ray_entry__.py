@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_counts": q.q_decontam_counts,
         "redaction_stats": q.q_redaction_stats,
         "knn_ivf_exact": q.q_knn_ivf_exact,
+        "repetition_counts": q.q_repetition_counts,
+        "pack_shards": q.q_pack_shards,
         # rows-only (non-SQL-expressible) checks
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
@@ -443,6 +445,36 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "knn_ivf_exact": knn_sql,
+        "repetition_counts": rf"""
+            WITH g AS (
+                SELECT lang,
+                       CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 3
+                       THEN list_transform(
+                            generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                            i -> regexp_split_to_array(trim(text), '\s+')[i] || ' '
+                              || regexp_split_to_array(trim(text), '\s+')[i+1] || ' '
+                              || regexp_split_to_array(trim(text), '\s+')[i+2])
+                       ELSE NULL END AS grams
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_repetitive
+            FROM g
+            WHERE grams IS NOT NULL
+              AND 1.0 - len(list_distinct(grams)) * 1.0 / len(grams) > 0.01
+            GROUP BY lang
+        """,
+        "pack_shards": r"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, lang, n_tokens,
+                   CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                         - n_tokens) // 2000 AS BIGINT) AS shard
+            FROM t
+        """,
         "sessionize": """
             WITH gaps AS (
                 SELECT user_id,

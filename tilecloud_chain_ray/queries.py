@@ -916,3 +916,38 @@ def q_knn_ivf_exact(sf_dir: str) -> ray.data.Dataset:
         emb, qvecs, k=5, key_col="vec_id", query_ids=qids, n_lists=16, nprobe=16
     )
     return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_repetition_counts(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition rule: per-lang count of docs whose
+    duplicate word-3-gram fraction exceeds 0.01."""
+    from tilecloud_chain_ray.stages.curation import repetition_fraction_batch
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def repetitive(batch: pa.Table) -> pa.Table:
+        scored = repetition_fraction_batch(batch)
+        frac = scored["rep_frac"].to_numpy(zero_copy_only=False)
+        return batch.select(["lang"]).filter(pa.array(frac > 0.01))
+
+    return (
+        docs.map_batches(repetitive, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_repetitive"))
+    )
+
+
+def q_pack_shards(sf_dir: str) -> ray.data.Dataset:
+    """Sequence packing: contiguous 2000-token training shards per lang
+    (distributed two-phase prefix scan; bucket_size 256 exercises the
+    cross-bucket offsets even at sf0.001)."""
+    from tilecloud_chain_ray.stages.scan import pack_shards
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    counted = docs.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "lang", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    return pack_shards(
+        counted, "lang", "doc_id", "n_tokens", budget=2000, bucket_size=256
+    )

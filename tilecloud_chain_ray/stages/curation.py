@@ -290,3 +290,29 @@ def benchmark_shingles(
     for r in rows:
         out |= word_ngrams(r[text_col], n)
     return frozenset(out)
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+
+def repetition_fraction_batch(
+    batch: pa.Table, text_col: str = "text", n: int = 3, out_col: str = "rep_frac"
+) -> pa.Table:
+    """Append the duplicate word-n-gram fraction per document:
+    ``1 - distinct_ngrams / total_ngrams`` — the repetition signal of
+    the Gopher quality rules.  Shingle strings match the oracle's
+    list_transform lambda; the division is the same two-int expression
+    on both sides, so the float compares exactly."""
+    texts = batch[text_col].to_pylist()
+    frac = np.empty(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        ws = t.strip().split() if t.strip() else [""]
+        if len(ws) < n:
+            frac[i] = 0.0
+            continue
+        total = len(ws) - n + 1
+        grams = {" ".join(ws[j : j + n]) for j in range(total)}
+        frac[i] = 1.0 - len(grams) * 1.0 / total
+    return batch.append_column(out_col, pa.array(frac, pa.float64()))
