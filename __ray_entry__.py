@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_exact": q.q_knn_ivf_exact,
         "repetition_counts": q.q_repetition_counts,
         "pack_shards": q.q_pack_shards,
+        "curate_counts": q.q_curate_counts,
         # rows-only (non-SQL-expressible) checks
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
@@ -462,6 +463,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE grams IS NOT NULL
               AND 1.0 - len(list_distinct(grams)) * 1.0 / len(grams) > 0.01
             GROUP BY lang
+        """,
+        # the full curation chain in one SQL: quality floor, benchmark
+        # decontamination, per-lang hash sample, exact dedup (min doc
+        # per identical text == min per md5), then the rollup
+        "curate_counts": rf"""
+            WITH m AS (
+                SELECT doc_id, lang, text,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+                FROM documents
+            ),
+            pass AS (
+                SELECT doc_id, lang, text, n_tokens FROM m
+                WHERE least(n_tokens, 100) / 100.0
+                      * (1.0 - n_upper / greatest(n_chars, 1.0)) >= 0.5
+                  AND {UX} < CASE lang {sample_case} ELSE 0 END
+            ),
+            sh AS (
+                SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+            ),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+            contaminated AS (
+                SELECT DISTINCT doc_id FROM sh
+                WHERE s IN (SELECT s FROM bench)
+            ),
+            surv AS (
+                SELECT * FROM pass
+                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+                QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+            )
+            SELECT lang, count(*) AS n_survivors,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM surv GROUP BY lang
         """,
         "pack_shards": r"""
             WITH t AS (

@@ -1,0 +1,62 @@
+"""End-to-end curate_corpus over the sf0.001 documents table: every
+stage's effect observable, output layout partitioned by lang, shard
+packing consistent with a sequential reference."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from tilecloud_chain_ray.pipelines.curate import curate_corpus
+from tilecloud_chain_ray.stages.curation import benchmark_shingles
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def test_curate_corpus_full_chain(tmp_path):
+    out = str(tmp_path / "corpus")
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    bench = benchmark_shingles(docs, max_key=5)
+    result = curate_corpus(
+        docs,
+        out_dir=out,
+        quality_min=0.3,
+        rep_max=0.5,
+        bench_shingles=bench,
+        sample_rates=0.9,
+        shard_budget=1000,
+        shard_bucket_size=64,
+    )
+    surv = result.survivors.to_pandas()
+    n_input = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows
+    assert 0 < len(surv) < n_input
+    # dedup: texts unique among survivors
+    texts = ray.data.read_parquet(out).to_pandas()
+    assert texts["text"].nunique() == len(texts)
+    # partitioned layout: one directory per lang value
+    langs = sorted(d.split("=")[1] for d in os.listdir(out) if d.startswith("lang="))
+    assert langs == sorted(surv["lang"].unique())
+    # shards: exclusive cumsum within (lang, doc_id order) // budget
+    sh = result.shards.to_pandas().sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    for lang, sub in sh.groupby("lang"):
+        w = sub["n_tokens"].to_numpy(dtype=np.int64)
+        excl = np.concatenate(([0], np.cumsum(w)[:-1]))
+        assert (sub["shard"].to_numpy() == excl // 1000).all()
+    # every survivor got a shard
+    assert sorted(sh["doc_id"]) == sorted(surv["doc_id"])
+
+
+def test_curate_corpus_no_write_no_shards():
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    result = curate_corpus(docs, quality_min=0.0)
+    assert result.shards is None and result.out_dir is None
+    surv = result.survivors.to_pandas()
+    assert surv["text"].nunique() == len(surv)  # dedup still applies

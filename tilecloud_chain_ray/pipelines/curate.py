@@ -1,0 +1,134 @@
+"""End-to-end corpus curation: the flagship training-data pipeline.
+
+Composes the curation operators into the standard document-processing
+chain a 100-TB pretraining pass runs:
+
+    analyze (tokens/quality/repetition, one fused text pass)
+    -> rule filters (quality floor, repetition ceiling)
+    -> benchmark decontamination (broadcast eval shingle set)
+    -> deterministic hash sampling (resumable, layout-independent)
+    -> exact content dedup (salted-bucket shuffle, min-key survivor)
+    -> write partitioned Parquet (one directory per stratum — a failed
+       run re-lists the output and skips finished partitions)
+    -> optional sequence packing (stages/scan.pack_shards) over the
+       survivors' narrow (group, order, weight) projection.
+
+Scale notes: the only corpus-wide shuffle is the dedup groupby, salted
+to ``n_buckets`` (never one Ray group per distinct md5 — see
+BASELINE.md's dedup ledger); every filter is fused into one
+``map_batches`` pass over the text so bytes are read once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from tilecloud_chain_ray.stages.curation import (
+    decontaminate,
+    hash_sample,
+    repetition_fraction_batch,
+)
+from tilecloud_chain_ray.stages.dedup import add_md5
+from tilecloud_chain_ray.stages.text import quality_score_batch, token_count_batch
+
+
+@dataclasses.dataclass
+class CurateResult:
+    survivors: ray.data.Dataset  # (key, group, n_tokens, quality, text)
+    shards: ray.data.Dataset | None  # (key, group, n_tokens, shard)
+    out_dir: str | None
+
+
+def curate_corpus(
+    ds: ray.data.Dataset,
+    out_dir: str | None = None,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    quality_min: float = 0.5,
+    rep_max: float | None = None,
+    bench_shingles: frozenset[str] | None = None,
+    sample_rates: dict[str, float] | float | None = None,
+    shard_budget: int | None = None,
+    n_buckets: int = 256,
+    shard_bucket_size: int = 1 << 20,
+) -> CurateResult:
+    """Run the curation chain; see module docstring.
+
+    Returns the surviving rows (and, when ``shard_budget`` is set, the
+    packed shard assignment table).  With ``out_dir`` the survivors are
+    written as Parquet partitioned by ``group_col``.
+    """
+
+    def analyze_and_filter(batch: pa.Table) -> pa.Table:
+        batch = quality_score_batch(token_count_batch(batch, text_col), text_col)
+        keep = batch["quality"].to_numpy(zero_copy_only=False) >= quality_min
+        if rep_max is not None:
+            batch = repetition_fraction_batch(batch, text_col)
+            keep &= batch["rep_frac"].to_numpy(zero_copy_only=False) <= rep_max
+        batch = batch.select([key_col, group_col, "n_tokens", "quality", text_col])
+        return batch.filter(pa.array(keep))
+
+    filtered = ds.map_batches(analyze_and_filter, batch_format="pyarrow")
+
+    if bench_shingles is not None:
+        flagged = decontaminate(filtered, bench_shingles, key_col, text_col)
+        filtered = flagged.map_batches(
+            lambda b: b.drop_columns(["contaminated"]).filter(
+                pa.compute.invert(b["contaminated"])
+            ),
+            batch_format="pyarrow",
+        )
+
+    if sample_rates is not None:
+        filtered = hash_sample(filtered, sample_rates, key_col=key_col, strat_col=group_col)
+
+    # exact content dedup: one salted-bucket shuffle of the surviving
+    # rows; survivor per md5 = min key (deterministic, layout-free)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = add_md5(batch, text_col)
+        md5s = batch["content_md5"].to_pylist()
+        bucket = np.fromiter(
+            (zlib.crc32(m.encode()) % n_buckets for m in md5s),
+            dtype=np.int64,
+            count=len(md5s),
+        )
+        return batch.append_column("_bucket", pa.array(bucket, pa.int64()))
+
+    def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["content_md5", key_col])
+        g = g.drop_duplicates("content_md5", keep="first")
+        return g.drop(columns=["content_md5", "_bucket"])
+
+    survivors = (
+        filtered.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
+    )
+
+    if out_dir is not None:
+        survivors.write_parquet(out_dir, partition_cols=[group_col])
+        # read the committed partitions back so downstream stages (and
+        # the shard packer) don't re-run the whole chain
+        survivors = ray.data.read_parquet(out_dir)
+
+    shards = None
+    if shard_budget is not None:
+        from tilecloud_chain_ray.stages.scan import pack_shards
+
+        shards = pack_shards(
+            survivors,
+            group_col,
+            key_col,
+            "n_tokens",
+            budget=shard_budget,
+            bucket_size=shard_bucket_size,
+            pin_input=out_dir is None,  # already a plain source after the write
+        )
+    return CurateResult(survivors=survivors, shards=shards, out_dir=out_dir)

@@ -951,3 +951,25 @@ def q_pack_shards(sf_dir: str) -> ray.data.Dataset:
     return pack_shards(
         counted, "lang", "doc_id", "n_tokens", budget=2000, bucket_size=256
     )
+
+
+def q_curate_counts(sf_dir: str) -> ray.data.Dataset:
+    """The full curation chain (quality floor -> decontaminate ->
+    stratified sample -> exact dedup) as one composite oracle query:
+    per-lang survivor count + token sum."""
+    from tilecloud_chain_ray.pipelines.curate import curate_corpus
+    from tilecloud_chain_ray.stages.curation import benchmark_shingles
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    bench = benchmark_shingles(docs, max_key=5, n=3)
+    result = curate_corpus(
+        docs,
+        quality_min=0.5,
+        bench_shingles=bench,
+        sample_rates=SAMPLE_RATES,
+    )
+    return (
+        result.survivors.select_columns(["lang", "n_tokens"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_survivors"), Sum("n_tokens", alias_name="sum_tokens"))
+    )
