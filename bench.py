@@ -86,6 +86,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "knn_cosine": lambda: q.q_knn_cosine(sf_dir),
         "text_analysis": lambda: q.q_quality_hist(sf_dir),
         "sessionize": lambda: q.q_sessionize(sf_dir),
+        "curate": lambda: q.q_curate_counts(sf_dir),
+        "pack_shards": lambda: q.q_pack_shards(sf_dir),
     }
 
     timings: dict[str, float] = {}
@@ -267,6 +269,29 @@ def scaling_run() -> None:
     r_hi = run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+
+    # same-run hardware calibration: the identical per-batch kernel
+    # through a plain multiprocessing.Pool (no Ray) at the same two
+    # levels.  This host's effective multi-core throughput drifts over
+    # hours (shared VM / thermal state), so every artifact carries its
+    # own ceiling; engine_vs_ceiling = eff / hw_ceiling is the
+    # load-independent number.
+    hw_ceiling = None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "jobs"))
+        from scale_probe import run_pool  # noqa: E402
+
+        files = sorted(
+            os.path.join(SCALING_DIR, f)
+            for f in os.listdir(SCALING_DIR)
+            if f.endswith(".parquet")
+        )
+        p_lo = run_pool(lo, files)
+        p_hi = run_pool(hi, files)
+        hw_ceiling = round((p_lo / p_hi) / (hi / lo), 3)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -282,6 +307,10 @@ def scaling_run() -> None:
                 "pages_per_sec_hi": r_hi["throughput"]["pages_per_sec"],
                 "queries_lo": r_lo["queries"],
                 "queries_hi": r_hi["queries"],
+                "hw_ceiling_mp_probe": hw_ceiling,
+                "engine_vs_ceiling": (
+                    round(eff / hw_ceiling, 3) if hw_ceiling else None
+                ),
             }
         )
     )
