@@ -230,9 +230,15 @@ def density_pyramid(
     out_parquet: str | None = None,
     concurrency: int | tuple[int, int] = (1, 4),
     with_summary: bool = True,
+    n_buckets: int = 256,
 ):
     """Full density pyramid for the given zooms (finest first not
-    required).  Returns (tiles_dataset, summary_dict)."""
+    required).  Returns (tiles_dataset, summary_dict).
+
+    ``n_buckets`` is the assembly-shuffle salt (see
+    assemble_and_render_tiles): size it to a few × the cluster's core
+    count — more buckets buy render parallelism on big tile universes,
+    fewer cut the per-group overhead when the output is small."""
     from tilecloud_chain_ray.pipelines.generate import GenerateResult
 
     assert not layer.meta, "density tiles are rendered per-tile (meta=False)"
@@ -279,7 +285,7 @@ def density_pyramid(
     )
 
     _, empty_tile = empty_signatures(layer)
-    rendered = assemble_and_render_tiles(partials, layer)
+    rendered = assemble_and_render_tiles(partials, layer, n_buckets=n_buckets)
     tiles = rendered.map_batches(
         make_hash_dropper(layer.empty_tile or empty_tile, "dropped"),
         batch_format="pyarrow",
