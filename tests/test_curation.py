@@ -40,6 +40,37 @@ def test_word_ngrams_short_and_long():
     assert word_ngrams("x x x x", 3) == {"x x x"}  # distinct
 
 
+def test_word_ngrams_matches_duckdb_on_exotic_whitespace():
+    """RE2's \\s is ASCII-only and DuckDB's trim() strips spaces only —
+    U+00A0 must stay inside tokens, leading tabs must produce the ''
+    token, exactly as the oracle lambda computes."""
+    import duckdb
+
+    texts = [
+        "foo bar baz qux quux",  # nbsp inside a token
+        "\tfoo bar baz qux",  # leading tab -> leading '' token in SQL
+        "a b c d e",  # unicode line separator inside a token
+        "v\x0bw x y z",  # vertical tab: outside RE2's ASCII \\s too
+    ]
+    con = duckdb.connect()
+    for t in texts:
+        (grams,) = con.execute(
+            r"""
+            SELECT list_distinct(CASE
+                WHEN len(regexp_split_to_array(trim(?), '\s+')) >= 3
+                THEN list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(?), '\s+')) - 2),
+                     i -> regexp_split_to_array(trim(?), '\s+')[i] || ' '
+                       || regexp_split_to_array(trim(?), '\s+')[i+1] || ' '
+                       || regexp_split_to_array(trim(?), '\s+')[i+2])
+                ELSE [array_to_string(regexp_split_to_array(trim(?), '\s+'), ' ')]
+            END)
+            """,
+            [t] * 6,
+        ).fetchone()
+        assert word_ngrams(t, 3) == set(grams), t
+
+
 def test_hash_sample_block_layout_independent():
     rows = [(i, "en" if i % 2 else "de", "t") for i in range(1000)]
     one_block = _docs(rows)

@@ -22,7 +22,7 @@ BASELINE.md's dedup ledger); every filter is fused into one
 from __future__ import annotations
 
 import dataclasses
-import zlib
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -34,7 +34,6 @@ from tilecloud_chain_ray.stages.curation import (
     hash_sample,
     repetition_fraction_batch,
 )
-from tilecloud_chain_ray.stages.dedup import add_md5
 from tilecloud_chain_ray.stages.text import quality_score_batch, token_count_batch
 
 
@@ -92,14 +91,19 @@ def curate_corpus(
     # exact content dedup: one salted-bucket shuffle of the surviving
     # rows; survivor per md5 = min key (deterministic, layout-free)
     def add_bucket(batch: pa.Table) -> pa.Table:
-        batch = add_md5(batch, text_col)
-        md5s = batch["content_md5"].to_pylist()
-        bucket = np.fromiter(
-            (zlib.crc32(m.encode()) % n_buckets for m in md5s),
-            dtype=np.int64,
-            count=len(md5s),
-        )
-        return batch.append_column("_bucket", pa.array(bucket, pa.int64()))
+        # one md5 pass (the unavoidable per-row hash) emits both the
+        # dedup key and — vectorized from the raw digest bytes — the
+        # shuffle bucket; no second per-row hash loop
+        texts = batch[text_col].to_pylist()
+        digests = [hashlib.md5(t.encode("utf-8")).digest() for t in texts]
+        hexes = [d.hex() for d in digests]
+        if digests:
+            raw = np.frombuffer(b"".join(digests), dtype=np.uint64)[::2]
+            bucket = (raw % np.uint64(n_buckets)).astype(np.int64)
+        else:
+            bucket = np.empty(0, dtype=np.int64)
+        out = batch.append_column("content_md5", pa.array(hexes, pa.string()))
+        return out.append_column("_bucket", pa.array(bucket, pa.int64()))
 
     def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["content_md5", key_col])
@@ -117,6 +121,11 @@ def curate_corpus(
         # read the committed partitions back so downstream stages (and
         # the shard packer) don't re-run the whole chain
         survivors = ray.data.read_parquet(out_dir)
+    elif shard_budget is not None:
+        # no write target: pin the survivor blocks once so the shard
+        # packer and the caller's consumption don't each re-execute the
+        # full chain (incl. the dedup shuffle)
+        survivors = survivors.materialize()
 
     shards = None
     if shard_budget is not None:
@@ -129,6 +138,6 @@ def curate_corpus(
             "n_tokens",
             budget=shard_budget,
             bucket_size=shard_bucket_size,
-            pin_input=out_dir is None,  # already a plain source after the write
+            pin_input=False,  # survivors are already a parquet read or materialized
         )
     return CurateResult(survivors=survivors, shards=shards, out_dir=out_dir)

@@ -16,6 +16,8 @@ corpus-proportional table on the driver.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -180,12 +182,23 @@ def grouped_quantiles(
 # word-n-gram shingle helpers (string form, SQL-reproducible)
 # ---------------------------------------------------------------------------
 
+# DuckDB's ``regexp_split_to_array(trim(text), '\s+')`` exactly: trim()
+# strips SPACES only, and RE2's \s is the ASCII class [\t\n\f\r ] — NOT
+# Python str.split()'s Unicode whitespace (U+00A0 etc. stay inside
+# tokens on the SQL side, so they must here too).
+_WS_RE = re.compile(r"[\t\n\f\r ]+")
+
+
+def _oracle_words(text: str) -> list[str]:
+    return _WS_RE.split(text.strip(" "))
+
 
 def word_ngrams(text: str, n: int = 3) -> set[str]:
-    """Distinct word n-gram strings of whitespace-trimmed ``text``;
-    texts shorter than ``n`` words yield their single joined form
-    (mirrors the oracle's list_transform lambda exactly)."""
-    ws = text.strip().split() if text.strip() else [""]
+    """Distinct word n-gram strings of space-trimmed ``text``; texts
+    shorter than ``n`` words yield their single joined form (mirrors
+    the oracle's list_transform lambda exactly, incl. its ASCII-only
+    whitespace semantics — see ``_WS_RE``)."""
+    ws = _oracle_words(text)
     if len(ws) < n:
         return {" ".join(ws)}
     return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
@@ -218,7 +231,9 @@ def ngram_jaccard_pairs(
     sets = {r[key_col]: word_ngrams(r[text_col], n) for r in rows}
     a_out, b_out, jac = [], [], []
     for a, b in pairs:
-        sa, sb = sets.get(a, set()), sets.get(b, set())
+        if a not in sets or b not in sets:
+            continue  # inner-join semantics: absent keys produce no row
+        sa, sb = sets[a], sets[b]
         inter = len(sa & sb)
         union = len(sa) + len(sb) - inter
         a_out.append(a)
@@ -249,19 +264,24 @@ def decontaminate(
     """Flag documents sharing any word-n-gram with a benchmark set —
     the standard eval-decontamination pass of an LLM data pipeline.
 
-    The benchmark shingle set is broadcast once (``ray.put``) and read
-    per actor, never re-shipped per batch; per-doc shingling is the
+    The benchmark shingle set is broadcast once (``ray.put``) and
+    deserialized once per worker process (``process_cached`` — a plain
+    frozenset has no zero-copy path, so a per-batch ``ray.get`` would
+    re-unpickle the whole set every call); per-doc shingling is the
     same string form the oracle reproduces.  Short-circuits on first
     hit per document.
     """
+    from tilecloud_chain_ray.util import process_cached
+
     bench_ref = ray.put(frozenset(bench_shingles))
+    cache_key = ("decontaminate", bench_ref.hex())
 
     def flag(batch: pa.Table) -> pa.Table:
-        bench = ray.get(bench_ref)
+        bench = process_cached(cache_key, lambda: ray.get(bench_ref))
         texts = batch[text_col].to_pylist()
         out = np.zeros(len(texts), dtype=bool)
         for i, t in enumerate(texts):
-            ws = t.strip().split() if t.strip() else [""]
+            ws = _oracle_words(t)
             if len(ws) < n:
                 out[i] = " ".join(ws) in bench
                 continue
@@ -308,7 +328,7 @@ def repetition_fraction_batch(
     texts = batch[text_col].to_pylist()
     frac = np.empty(len(texts), dtype=np.float64)
     for i, t in enumerate(texts):
-        ws = t.strip().split() if t.strip() else [""]
+        ws = _oracle_words(t)
         if len(ws) < n:
             frac[i] = 0.0
             continue

@@ -164,7 +164,12 @@ def pip_join_tasks(
     from tilecloud_chain_ray.util import process_cached
 
     layers_ref = ray.put(layers)
-    key = ("pip_join_tasks", cache_key or id(layers), mode, tuple(sorted(kw.items())))
+    # default cache identity = the broadcast ref itself (unique per put,
+    # never recycled — unlike id(), which CPython reuses after gc and
+    # could serve a stale tree built from a different layer set); an
+    # explicit cache_key opts into cross-call sharing
+    ident = cache_key if cache_key is not None else layers_ref.hex()
+    key = ("pip_join_tasks", ident, mode, tuple(sorted(kw.items())))
 
     def fn(batch: pa.Table) -> pa.Table:
         st = process_cached(key, lambda: PIPJoin(layers_ref, mode=mode, **kw))
