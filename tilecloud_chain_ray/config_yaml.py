@@ -224,12 +224,28 @@ def load_config(
         # layer-side CRS: a layer bbox / inline geometry may be declared
         # in another SRS and is reprojected into the grid CRS, mirroring
         # the reference's proj4_literal handling (__init__.py:798-802)
-        layer_proj4 = lay.get("proj4_literal") or (
-            _srs_literal(lay["srs"]) if lay.get("srs") else None
-        )
+        # srs identical to the grid's needs no reprojection (and must
+        # not fail just because the code is outside the literal table)
+        layer_srs = lay.get("srs")
+        if lay.get("proj4_literal"):
+            layer_proj4 = lay["proj4_literal"]
+        elif layer_srs and str(layer_srs) != str(grid.srs):
+            try:
+                layer_proj4 = _srs_literal(layer_srs)
+            except ValueError as exc:
+                raise ConfigError([f"layer {name}: srs {layer_srs!r}: {exc}"]) from exc
+        else:
+            layer_proj4 = None
         grid_proj4 = None
         if layer_proj4 is not None:
-            grid_proj4 = grid.proj4()
+            try:
+                grid_proj4 = grid.proj4()
+            except ValueError as exc:
+                raise ConfigError(
+                    [f"layer {name}: grid srs {grid.srs!r}: {exc}"]
+                ) from exc
+            if layer_proj4 == grid_proj4:
+                layer_proj4 = grid_proj4 = None
 
         layer_bbox = tuple(lay["bbox"]) if lay.get("bbox") else None
         if layer_bbox and layer_proj4 and layer_proj4 != grid_proj4:
@@ -243,9 +259,16 @@ def load_config(
                 from tilecloud_chain_ray.config import GeometrySource
 
                 geom = geometry_from_wkt(src["wkt"])
-                src_proj4 = src.get("proj4_literal") or (
-                    _srs_literal(src["srs"]) if src.get("srs") else layer_proj4
-                )
+                try:
+                    src_proj4 = src.get("proj4_literal") or (
+                        _srs_literal(src["srs"]) if src.get("srs") else layer_proj4
+                    )
+                    if src.get("srs") and str(src["srs"]) == str(grid.srs):
+                        src_proj4 = None  # same CRS: identity
+                except ValueError as exc:
+                    raise ConfigError(
+                        [f"layer {name}: geom srs {src.get('srs')!r}: {exc}"]
+                    ) from exc
                 if src_proj4 and src_proj4 != (grid_proj4 or grid.proj4()):
                     from tilecloud_chain_ray.proj import Transformer, transform_geometry
 

@@ -169,6 +169,7 @@ def minhash_candidates(
     (band, band_hash) pair — salting is inherent (16 bands spread hot
     content), buckets are tiny unless texts are truly identical.
     """
+    del concurrency  # kept for API compat: banding became a task stage
     from tilecloud_chain_ray.util import process_cached
 
     params = (key_col, text_col, num_perm, bands)
@@ -189,7 +190,7 @@ def minhash_candidates(
     # banded rows are (int64, int32, int64) only — tiny; materialize so
     # the signature computation runs once, not once per consumer
     banded = banded.materialize()
-    return _expand_hot_bucket_pairs(banded, max_bucket=100_000)
+    return _expand_hot_bucket_pairs(banded, max_bucket=10_000)
 
 
 def _expand_hot_bucket_pairs(
@@ -267,7 +268,15 @@ def _expand_hot_bucket_pairs(
         cum = np.concatenate([[0], np.cumsum(npairs)])
         k = np.arange(total) - cum[right]
         left = right - pos[right] + k  # run start + k-th earlier member
-        return pd.DataFrame({"key_a": key[left], "key_b": key[right]})
+        ka, kb = key[left], key[right]
+        # duplicate input keys (same key twice in a run) would emit
+        # (k, k) self-pairs here where the driver path's set() cannot —
+        # drop them so both physical paths keep the key_a < key_b
+        # invariant
+        real = ka != kb
+        if not real.all():
+            ka, kb = ka[real], kb[real]
+        return pd.DataFrame({"key_a": ka, "key_b": kb})
 
     cand = (
         banded.map_batches(add_bucket, batch_format="pyarrow")
@@ -280,16 +289,12 @@ def _expand_hot_bucket_pairs(
     # sort-based groupby pays per distinct key, so always group by a
     # small salted bucket and dedup vectorized inside it
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        ka = batch["key_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        kb = batch["key_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            mixed = (ka * np.uint64(0x9E3779B97F4A7C15)) ^ (
-                kb * np.uint64(0xC2B2AE3D27D4EB4F)
-            )
-            bucket = (mixed >> np.uint64(40)) % np.uint64(n_buckets)
-        return batch.append_column(
-            "pbucket", pa.array(bucket.astype(np.int64), pa.int64())
+        bucket = _pair_bucket_of(
+            batch["key_a"].to_numpy(zero_copy_only=False),
+            batch["key_b"].to_numpy(zero_copy_only=False),
+            n_buckets,
         )
+        return batch.append_column("pbucket", pa.array(bucket, pa.int64()))
 
     def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
         return group[["key_a", "key_b"]].drop_duplicates()
@@ -301,19 +306,23 @@ def _expand_hot_bucket_pairs(
     )
 
 
-def _pack_band_key(band: int, band_hash: int) -> np.uint64:
-    """(band, band_hash) -> one uint64 FILTER key: band in the top 16
-    bits, the hash's low 48 bits below.  Lossy (drops 15 hash bits) but
-    only in the safe direction: used exclusively by the hot-bucket
-    PREFILTER, where a collision admits an extra row that then lands in
-    its true (band, band_hash) group downstream and pairs with nothing —
-    false positives allowed, false negatives impossible."""
-    return (np.uint64(band) << np.uint64(48)) | (
-        np.uint64(band_hash) & np.uint64((1 << 48) - 1)
-    )
+def _pair_bucket_of(ka: np.ndarray, kb: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Salted shuffle bucket of an (a, b) pair — one mix per side, xor,
+    top bits mod n_buckets (shared by every pair-dedup groupby)."""
+    with np.errstate(over="ignore"):
+        mixed = (ka.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            kb.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        return ((mixed >> np.uint64(40)) % np.uint64(n_buckets)).astype(np.int64)
 
 
 def _pack_band_keys(band: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
+    """(band, band_hash) -> one uint64 key: band in the top 16 bits,
+    the hash's low 48 bits below.  Lossy (drops 15 hash bits) but only
+    in the safe direction for its uses (bucketing / membership
+    prefilters): a collision admits an extra row that then lands in its
+    true (band, band_hash) group downstream and pairs with nothing —
+    false positives allowed, false negatives impossible."""
     return (band.astype(np.uint64) << np.uint64(48)) | (
         band_hash.astype(np.uint64) & np.uint64((1 << 48) - 1)
     )
@@ -602,6 +611,10 @@ def verify_jaccard(
 ) -> ray.data.Dataset:
     """Exact n-gram Jaccard verification of candidate pairs.
 
+    Output schema is (key_a, key_b, jaccard) on BOTH physical paths —
+    extra input columns are dropped so callers can't come to depend on
+    columns that only survive the small-input path.
+
     When the candidate universe is small (estimated shingle-set bytes
     under ``small_table_max_bytes``) the shingle sets of only the
     candidate keys are broadcast via ``ray.put`` and verification is an
@@ -626,10 +639,7 @@ def verify_jaccard(
         keys_needed.add(row["key_a"])
         keys_needed.add(row["key_b"])
     if not keys_needed:
-        return candidate_pairs.map_batches(
-            lambda b: b.append_column("jaccard", pa.array([], pa.float64())),
-            batch_format="pyarrow",
-        )
+        return _empty_pairs(with_jaccard=True)
     needed = ds.map_batches(
         lambda b: b.filter(
             pa.compute.is_in(b[key_col], value_set=pa.array(sorted(keys_needed)))
@@ -650,7 +660,9 @@ def verify_jaccard(
             sa, sb = sh.get(a[i], set()), sh.get(b[i], set())
             union = len(sa | sb)
             jac[i] = len(sa & sb) / union if union else 0.0
-        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+        out = batch.select(["key_a", "key_b"]).append_column(
+            "jaccard", pa.array(jac, pa.float64())
+        )
         return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
 
     return candidate_pairs.map_batches(verify, batch_format="pyarrow")
@@ -822,16 +834,12 @@ def simhash_candidates(
     # sort groupby pays per distinct key — salt to 256 buckets and
     # reduce vectorized inside each (same lesson as the minhash path)
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        ka = batch["key_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        kb = batch["key_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            mixed = (ka * np.uint64(0x9E3779B97F4A7C15)) ^ (
-                kb * np.uint64(0xC2B2AE3D27D4EB4F)
-            )
-            bucket = (mixed >> np.uint64(40)) % np.uint64(256)
-        return batch.append_column(
-            "pbucket", pa.array(bucket.astype(np.int64), pa.int64())
+        bucket = _pair_bucket_of(
+            batch["key_a"].to_numpy(zero_copy_only=False),
+            batch["key_b"].to_numpy(zero_copy_only=False),
+            256,
         )
+        return batch.append_column("pbucket", pa.array(bucket, pa.int64()))
 
     def min_ham_bucket(group: pd.DataFrame) -> pd.DataFrame:
         return (

@@ -161,11 +161,13 @@ def asof_join(
     left_schema = left.schema()
     left_cols = [c for c in left_schema.names if c not in (key, ts)]
     # The null-padded union makes every left column nullable, so pandas
-    # upcasts ints to float64 inside merge_group; remember which left
-    # columns are integral so we can cast them back (they come from real
-    # left rows and are never null).
+    # upcasts ints to float64 inside merge_group; remember each integral
+    # left column's ORIGINAL width so we can cast back (int32 stays
+    # int32).  Left rows CAN carry real nulls, so the cast is per-group
+    # conditional — a column with NaN in this group passes through as
+    # float, matching the pre-cast behavior instead of crashing.
     int_left = {
-        c
+        c: t.to_pandas_dtype()
         for c, t in zip(left_schema.names, left_schema.types)
         if c in left_cols and pa.types.is_integer(t)
     }
@@ -203,8 +205,9 @@ def asof_join(
             allow_exact_matches=not strict,
             direction="backward",
         )
-        for c in int_left:
-            merged[c] = merged[c].astype(np.int64)
+        for c, dtype in int_left.items():
+            if not merged[c].isna().any():
+                merged[c] = merged[c].astype(dtype)
         return merged
 
     return both.groupby(key).map_groups(merge_group, batch_format="pandas")
