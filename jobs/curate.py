@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Corpus-curation CLI: run the full curate_corpus chain over a parquet
+documents table and write the partitioned survivor corpus (+ optional
+training-shard manifest).
+
+  python jobs/curate.py --in /root/testdata/sf0.01 --out /tmp/corpus \
+      --quality-min 0.5 --rep-max 0.05 --decontam-max-key 5 \
+      --sample en=0.5,de=0.25 --shard-budget 100000
+
+Owns its Ray session (guarded init); library code never calls
+ray.init.  Output layout: ``<out>/lang=<value>/*.parquet`` (resumable:
+a re-run with a fresh --out regenerates; finished partitions of an
+interrupted run are listable for a skip-list).  The shard manifest
+(when --shard-budget is set) lands at ``<out>_shards/``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def parse_rates(spec: str | None):
+    if not spec:
+        return None
+    if "=" not in spec:
+        return float(spec)
+    return {
+        part.split("=")[0]: float(part.split("=")[1]) for part in spec.split(",")
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--in", dest="in_dir", required=True,
+                    help="documents parquet file/dir (doc_id, lang, text)")
+    ap.add_argument("--out", required=True, help="output corpus directory")
+    ap.add_argument("--quality-min", type=float, default=0.5)
+    ap.add_argument("--rep-max", type=float, default=None,
+                    help="max duplicate word-3-gram fraction (Gopher rule)")
+    ap.add_argument("--decontam-max-key", type=int, default=None,
+                    help="build the eval shingle set from doc_id < N")
+    ap.add_argument("--sample", default=None,
+                    help="rate (0.5) or per-lang rates (en=0.5,de=0.25)")
+    ap.add_argument("--shard-budget", type=int, default=None,
+                    help="tokens per training shard (writes <out>_shards/)")
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from tilecloud_chain_ray.pipelines.curate import curate_corpus
+    from tilecloud_chain_ray.stages.curation import benchmark_shingles
+
+    path = args.in_dir
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "documents.parquet")):
+        path = os.path.join(path, "documents.parquet")
+    docs = ray.data.read_parquet(path, columns=["doc_id", "lang", "text"])
+
+    bench = None
+    if args.decontam_max_key is not None:
+        bench = benchmark_shingles(docs, max_key=args.decontam_max_key)
+
+    result = curate_corpus(
+        docs,
+        out_dir=args.out,
+        quality_min=args.quality_min,
+        rep_max=args.rep_max,
+        bench_shingles=bench,
+        sample_rates=parse_rates(args.sample),
+        shard_budget=args.shard_budget,
+    )
+    n_out = result.survivors.count()
+    n_shards = None
+    if result.shards is not None:
+        shards_dir = args.out.rstrip("/") + "_shards"
+        result.shards.write_parquet(shards_dir)
+        import pyarrow.compute as pc
+
+        n_shards = 0
+        for b in result.shards.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            if b.num_rows:
+                n_shards = max(n_shards, int(pc.max(b["shard"]).as_py()) + 1)
+    print(json.dumps({"survivors": n_out, "out": args.out, "shards": n_shards}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -233,3 +233,36 @@ def test_yaml_reprojects_layer_bbox_and_geoms():
     assert layer.bbox == pytest.approx((2420000, 1030000, 2900000, 1350000))
     g = layer.geometries[0].geometry
     assert (g.x, g.y) == pytest.approx((2600000, 1200000))
+
+
+def test_layer_srs_same_as_grid_is_noop_and_unknown_is_structured():
+    """A layer srs equal to the grid's must load without requiring a
+    proj4-literal-table entry; an unknown srs that WOULD reproject must
+    raise a structured ConfigError, not a bare ValueError."""
+    from tilecloud_chain_ray.config_yaml import ConfigError
+
+    base = """
+caches:
+  local: {type: filesystem, folder: /tmp/t, http_url: "http://x/"}
+grids:
+  g:
+    srs: EPSG:3035
+    bbox: [0, 0, 1000, 1000]
+    resolutions: [10, 5]
+    tile_size: 256
+layers:
+  lay:
+    grid: g
+    grids: [g]
+    srs: %s
+    bbox: [0, 0, 500, 500]
+"""
+    # EPSG:3035 is NOT in the built-in literal table — but srs == grid
+    # srs means no reprojection, so this must load
+    cfg = load_config(text=base % "EPSG:3035")
+    assert tuple(cfg.engine.layers["lay"].bbox or ()) == (0, 0, 500, 500)
+
+    # a different unknown srs needs a transform -> structured error
+    with pytest.raises(ConfigError) as exc:
+        load_config(text=base % "EPSG:9999")
+    assert "EPSG:9999" in "\n".join(exc.value.errors)
