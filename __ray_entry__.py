@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_counts": q.q_repetition_counts,
         "pack_shards": q.q_pack_shards,
         "curate_counts": q.q_curate_counts,
+        "user_event_pivot": q.q_user_event_pivot,
+        "lang_source_rollup": q.q_lang_source_rollup,
         # rows-only (non-SQL-expressible) checks
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
@@ -463,6 +465,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE grams IS NOT NULL
               AND 1.0 - len(list_distinct(grams)) * 1.0 / len(grams) > 0.01
             GROUP BY lang
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "lang_source_rollup": """
+            SELECT lang, source, count(*) AS n
+            FROM documents GROUP BY ROLLUP(lang, source)
         """,
         # the full curation chain in one SQL: quality floor, benchmark
         # decontamination, per-lang hash sample, exact dedup (min doc

@@ -973,3 +973,54 @@ def q_curate_counts(sf_dir: str) -> ray.data.Dataset:
         .groupby("lang")
         .aggregate(Count(alias_name="n_survivors"), Sum("n_tokens", alias_name="sum_tokens"))
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_user_event_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Pivot: per-user event counts as one column per event type.
+
+    Scale shape: per-batch crosstab combiner (wide partial rows), one
+    groupby over user_id summing the count columns — the pivot never
+    becomes a row explosion."""
+    events = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial_pivot(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        for t in EVENT_TYPES:
+            if t not in ct.columns:
+                ct[t] = 0
+        ct = ct[list(EVENT_TYPES)].astype(np.int64)
+        ct.columns = [f"n_{t}" for t in EVENT_TYPES]
+        return pa.Table.from_pandas(ct.reset_index(), preserve_index=False)
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES]
+    return (
+        events.map_batches(partial_pivot, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*aggs)
+    )
+
+
+def q_lang_source_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Grouping sets: doc counts at (lang, source), (lang) and ()
+    levels — GROUP BY ROLLUP re-expressed as one pre-aggregated fine
+    groupby whose small result re-aggregates locally (coarser levels
+    never re-scan the input)."""
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+    fine = docs.groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
+
+    def widen_levels(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        lvl1 = df.groupby("lang", as_index=False)["n"].sum()
+        lvl1["source"] = None
+        lvl2 = pd.DataFrame({"lang": [None], "source": [None], "n": [df["n"].sum()]})
+        out = pd.concat([df, lvl1[["lang", "source", "n"]], lvl2])
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # the fine table is (langs x sources) rows — tiny by construction;
+    # coalesce to one block so the rollup levels are computed once
+    return fine.repartition(1).map_batches(widen_levels, batch_format="pyarrow")
