@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "generate_point_hash": q.q_generate_point_hash,
         "fingerprints": q.q_fingerprints,
         "approx_distinct": q.q_approx_distinct,
+        "approx_users_per_type": q.q_approx_users_per_type,
         "media_pipeline": q.q_media_pipeline,
     }
 

@@ -197,3 +197,29 @@ def test_error_list_roundtrip(tmp_path):
         (2, 16, 32, 8),
         (3, 58, 70, 1),
     }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_approx_distinct_within_error():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tilecloud_chain_ray.stages.sketch import grouped_approx_distinct
+
+    rng = np.random.default_rng(9)
+    n = 60_000
+    groups = np.where(rng.random(n) < 0.5, "a", "b")
+    # distinct universes of different sizes per group
+    keys = np.where(
+        groups == "a",
+        rng.integers(0, 5_000, n),
+        rng.integers(0, 800, n),
+    ).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.Table.from_pydict({"g": pa.array(groups.tolist()), "k": pa.array(keys)})
+    ).repartition(8)
+    out = {r["g"]: r["approx_distinct"] for r in grouped_approx_distinct(ds, "g", "k").take_all()}
+    for g in ("a", "b"):
+        exact = len(np.unique(keys[groups == g]))
+        assert abs(out[g] - exact) / exact < 0.05, (g, out[g], exact)

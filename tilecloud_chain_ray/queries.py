@@ -1024,3 +1024,13 @@ def q_lang_source_rollup(sf_dir: str) -> ray.data.Dataset:
     # the fine table is (langs x sources) rows — tiny by construction;
     # coalesce to one block so the rollup levels are computed once
     return fine.repartition(1).map_batches(widen_levels, batch_format="pyarrow")
+
+
+def q_approx_users_per_type(sf_dir: str) -> ray.data.Dataset:
+    """Approximate distinct users per event type (grouped mergeable HLL
+    sketches — rows-only: approximate by design, accuracy pinned by
+    tests/test_extras vs the exact count)."""
+    from tilecloud_chain_ray.stages.sketch import grouped_approx_distinct
+
+    events = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_approx_distinct(events, "event_type", "user_id")

@@ -65,3 +65,51 @@ def approx_distinct(ds: ray.data.Dataset, col: str, p: int = 12) -> float:
     for row in sketches.iter_rows():
         merged = np.maximum(merged, np.asarray(row["regs"], dtype=np.uint8))
     return _hll_estimate(merged)
+
+
+def grouped_approx_distinct(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    p: int = 12,
+    out_col: str = "approx_distinct",
+) -> ray.data.Dataset:
+    """Approximate COUNT(DISTINCT key) PER GROUP: one fixed-size sketch
+    row per (block, group) crosses the wire, sketches merge by
+    register-wise max inside a per-group ``map_groups`` — the scale
+    path for distinct-user-style rollups where the exact bundled
+    shuffle (stages/distinct.py) would move every key.
+    """
+    import pandas as pd
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch[group_col].to_pylist(),
+                "k": batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        groups, regs = [], []
+        for g, sub in df.groupby("g", sort=False):
+            groups.append(g)
+            regs.append(_hll_registers(sub["k"].to_numpy(), p).tolist())
+        return pa.Table.from_pydict(
+            {
+                group_col: pa.array(groups),
+                "regs": pa.array(regs, pa.list_(pa.uint8())),
+            }
+        )
+
+    def merge(group: "pd.DataFrame") -> "pd.DataFrame":
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for r in group["regs"]:
+            merged = np.maximum(merged, np.asarray(r, dtype=np.uint8))
+        return pd.DataFrame(
+            {
+                group_col: [group[group_col].iloc[0]],
+                out_col: [int(round(_hll_estimate(merged)))],
+            }
+        )
+
+    sketches = ds.map_batches(sketch_batch, batch_format="pyarrow")
+    return sketches.groupby(group_col).map_groups(merge, batch_format="pandas")
