@@ -223,3 +223,36 @@ def test_grouped_approx_distinct_within_error():
     for g in ("a", "b"):
         exact = len(np.unique(keys[groups == g]))
         assert abs(out[g] - exact) / exact < 0.05, (g, out[g], exact)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_skew_join_matches_plain_join():
+    """Hot keys through the broadcast map-side path produce exactly the
+    plain bucketed join's rows (one key holding 50% of the left side)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tilecloud_chain_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 2_000, n)).astype(np.int64)
+    left = ray.data.from_arrow(
+        pa.Table.from_pydict({"k": pa.array(keys), "lv": pa.array(np.arange(n))})
+    ).repartition(8)
+    rkeys = np.arange(0, 2_000, dtype=np.int64)  # includes the hot key once
+    right = ray.data.from_arrow(
+        pa.Table.from_pydict({"k": pa.array(rkeys), "rv": pa.array(rkeys * 10)})
+    )
+
+    def norm(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)[["k", "lv", "rv"]]
+        )
+
+    plain = norm(hash_join(left, right, on="k", how="inner"))
+    skew = norm(hash_join(left, right, on="k", how="inner", skew_keys=[7]))
+    assert plain.equals(skew) and (plain["k"] == 7).sum() > 9000

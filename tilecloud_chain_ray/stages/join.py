@@ -28,14 +28,26 @@ def hash_join(
     how: str = "inner",
     n_buckets: int = 64,
     suffixes: tuple[str, str] = ("_l", "_r"),
+    skew_keys: list[int] | None = None,
 ) -> ray.data.Dataset:
     """Join two datasets on an int64 key column.
 
     ``how``: inner | left.  Output columns: join key + both sides'
     other columns (suffixed on collision).
+
+    Skew: bucketing by key hash cannot split a single hot key — all of
+    a hot key's rows land in one bucket no matter how large
+    ``n_buckets`` is.  Pass the hot keys via ``skew_keys`` (from domain
+    knowledge or a cheap sampled count) and they take a broadcast
+    map-side path: their RIGHT rows are collected (must be the small
+    side per hot key — the usual many-left × few-right skew), joined
+    against left batches with no shuffle, and unioned with the bucketed
+    join of the remaining keys.
     """
     if how not in ("inner", "left"):
         raise ValueError(how)
+    if skew_keys:
+        return _skew_join(left, right, on, how, n_buckets, suffixes, skew_keys)
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -94,6 +106,56 @@ def hash_join(
         return merged
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def _skew_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    how: str,
+    n_buckets: int,
+    suffixes: tuple[str, str],
+    skew_keys: list[int],
+) -> ray.data.Dataset:
+    """Hot keys broadcast map-side, cold keys through the bucketed
+    join (see hash_join docstring)."""
+    import pyarrow.compute as pc
+
+    hot_arr = pa.array(sorted(set(int(k) for k in skew_keys)), pa.int64())
+
+    def split(ds: ray.data.Dataset, keep_hot: bool) -> ray.data.Dataset:
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[on], value_set=hot_arr)
+            return batch.filter(mask if keep_hot else pc.invert(mask))
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    # same output-column naming as the bucketed path
+    left_cols = [c for c in left.schema().names if c != on]
+    right_cols = [c for c in right.schema().names if c != on]
+    collisions = set(left_cols) & set(right_cols)
+    lmap = {c: c + suffixes[0] if c in collisions else c for c in left_cols}
+    rmap = {c: c + suffixes[1] if c in collisions else c for c in right_cols}
+    out_cols = [on, *(lmap[c] for c in left_cols), *(rmap[c] for c in right_cols)]
+
+    # hot right side: small per hot key by contract — broadcast once
+    hot_right = split(right, True).take_all()
+    hot_df = pd.DataFrame(hot_right, columns=[on, *right_cols]).rename(columns=rmap)
+    hot_ref = ray.put(hot_df)
+
+    def map_side(batch: pa.Table) -> pa.Table:
+        from tilecloud_chain_ray.util import process_cached
+
+        rhs = process_cached(("skew_join_rhs", hot_ref.hex()), lambda: ray.get(hot_ref))
+        lhs = batch.to_pandas().rename(columns=lmap)
+        merged = lhs.merge(rhs, on=on, how=how)
+        return pa.Table.from_pandas(merged[out_cols], preserve_index=False)
+
+    hot_joined = split(left, True).map_batches(map_side, batch_format="pyarrow")
+    cold_joined = hash_join(
+        split(left, False), split(right, False), on, how, n_buckets, suffixes
+    )
+    return cold_joined.union(hot_joined)
 
 
 def range_join(
