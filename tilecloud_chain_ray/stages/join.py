@@ -140,7 +140,14 @@ def _skew_join(
 
     # hot right side: small per hot key by contract — broadcast once
     hot_right = split(right, True).take_all()
-    hot_df = pd.DataFrame(hot_right, columns=[on, *right_cols]).rename(columns=rmap)
+    if hot_right:
+        hot_df = pd.DataFrame(hot_right, columns=[on, *right_cols]).rename(columns=rmap)
+    else:  # skew keys absent from right: typed empty frame so the
+        # map-side merge still aligns on the int64 key
+        hot_df = pd.DataFrame(
+            {on: pd.Series([], dtype=np.int64),
+             **{rmap[c]: pd.Series([], dtype=object) for c in right_cols}}
+        )
     hot_ref = ray.put(hot_df)
 
     def map_side(batch: pa.Table) -> pa.Table:
