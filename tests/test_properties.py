@@ -190,3 +190,43 @@ def test_proj_lv03_lv95_consistency(lon, lat):
     x5, y5 = t95.transform(lon, lat)
     assert abs((float(x5) - float(x3)) - 2_000_000.0) < 1e-6
     assert abs((float(y5) - float(y3)) - 1_000_000.0) < 1e-6
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=300),
+    budget=st.integers(min_value=1, max_value=5_000),
+    bucket_size=st.sampled_from([1, 3, 64, 1 << 20]),
+)
+def test_pack_shards_property(ray_session, weights, budget, bucket_size):
+    """pack_shards == sequential exclusive-cumsum // budget for ANY
+    weights (incl. zeros and weights far above the budget), any bucket
+    size, unordered input."""
+    import numpy as np
+    import pyarrow as pa
+    import ray as _ray
+
+    from tilecloud_chain_ray.stages.scan import pack_shards
+
+    n = len(weights)
+    rng = np.random.default_rng(1)
+    order = rng.permutation(n)
+    tbl = pa.Table.from_pydict(
+        {
+            "g": pa.array(["x"] * n),
+            "o": pa.array(np.asarray(order, dtype=np.int64)),
+            "w": pa.array(np.asarray(weights, dtype=np.int64)[order]),
+        }
+    )
+    ds = _ray.data.from_arrow(tbl).repartition(min(4, n))
+    got = (
+        pack_shards(ds, "g", "o", "w", budget=budget, bucket_size=bucket_size)
+        .to_pandas()
+        .sort_values("o")
+    )
+    w_sorted = got["w"].to_numpy()
+    excl = np.concatenate(([0], np.cumsum(w_sorted)[:-1]))
+    assert (got["shard"].to_numpy() == excl // budget).all()

@@ -8,8 +8,11 @@ chain a 100-TB pretraining pass runs:
     -> benchmark decontamination (broadcast eval shingle set)
     -> deterministic hash sampling (resumable, layout-independent)
     -> exact content dedup (salted-bucket shuffle, min-key survivor)
-    -> write partitioned Parquet (one directory per stratum — a failed
-       run re-lists the output and skips finished partitions)
+    -> write partitioned Parquet (one directory per stratum; for
+       checkpointed re-runs over huge inputs, feed input shards through
+       the lineage pattern of pipelines/density_resumable.py — the
+       lang partitioning here is for downstream consumption, not a
+       resume unit)
     -> optional sequence packing (stages/scan.pack_shards) over the
        survivors' narrow (group, order, weight) projection.
 
