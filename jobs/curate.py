@@ -22,13 +22,23 @@ import os
 
 
 def parse_rates(spec: str | None):
+    """'0.5' -> float; 'en=0.5,de=0.25' -> dict; malformed -> SystemExit."""
     if not spec:
         return None
-    if "=" not in spec:
-        return float(spec)
-    return {
-        part.split("=")[0]: float(part.split("=")[1]) for part in spec.split(",")
-    }
+    try:
+        if "=" not in spec:
+            return float(spec)
+        out = {}
+        for part in spec.split(","):
+            lang, _, rate = part.partition("=")
+            if not lang or not rate:
+                raise ValueError(part)
+            out[lang] = float(rate)
+        return out
+    except ValueError as exc:
+        raise SystemExit(
+            f"--sample: expected RATE or lang=RATE[,lang=RATE...], got {spec!r} ({exc})"
+        ) from exc
 
 
 def main() -> None:
@@ -84,12 +94,14 @@ def main() -> None:
     if result.shards is not None:
         shards_dir = args.out.rstrip("/") + "_shards"
         result.shards.write_parquet(shards_dir)
-        import pyarrow.compute as pc
+        # count distinct (lang, shard) pairs — shard ids restart at 0
+        # per group — from the WRITTEN manifest (re-consuming
+        # result.shards would re-execute the scan shuffle)
+        import duckdb
 
-        n_shards = 0
-        for b in result.shards.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            if b.num_rows:
-                n_shards = max(n_shards, int(pc.max(b["shard"]).as_py()) + 1)
+        n_shards = duckdb.connect().execute(
+            f"SELECT count(DISTINCT (lang, shard)) FROM read_parquet('{shards_dir}/*.parquet')"
+        ).fetchone()[0]
     print(json.dumps({"survivors": n_out, "out": args.out, "shards": n_shards}))
     ray.shutdown()
 

@@ -1014,7 +1014,7 @@ def q_lang_source_rollup(sf_dir: str) -> ray.data.Dataset:
 
     def widen_levels(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        lvl1 = df.groupby("lang", as_index=False)["n"].sum()
+        lvl1 = df.groupby("lang", as_index=False, dropna=False)["n"].sum()
         lvl1["source"] = None
         lvl2 = pd.DataFrame({"lang": [None], "source": [None], "n": [df["n"].sum()]})
         out = pd.concat([df, lvl1[["lang", "source", "n"]], lvl2])

@@ -21,6 +21,17 @@ import pyarrow as pa
 import ray
 
 
+def _column_maps(
+    left_cols: list[str], right_cols: list[str], suffixes: tuple[str, str]
+) -> tuple[dict[str, str], dict[str, str]]:
+    """Collision-suffixed output names for each side's non-key columns
+    (shared by the bucketed and skew join paths so they stay in sync)."""
+    collisions = set(left_cols) & set(right_cols)
+    lmap = {c: c + suffixes[0] if c in collisions else c for c in left_cols}
+    rmap = {c: c + suffixes[1] if c in collisions else c for c in right_cols}
+    return lmap, rmap
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -64,9 +75,7 @@ def hash_join(
     # other side's columns as nulls so the union has one schema
     left_cols = [c for c in left.schema().names if c != on]
     right_cols = [c for c in right.schema().names if c != on]
-    collisions = set(left_cols) & set(right_cols)
-    lmap = {c: c + suffixes[0] if c in collisions else c for c in left_cols}
-    rmap = {c: c + suffixes[1] if c in collisions else c for c in right_cols}
+    lmap, rmap = _column_maps(left_cols, right_cols, suffixes)
 
     def widen(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -118,10 +127,22 @@ def _skew_join(
     skew_keys: list[int],
 ) -> ray.data.Dataset:
     """Hot keys broadcast map-side, cold keys through the bucketed
-    join (see hash_join docstring)."""
+    join (see hash_join docstring).
+
+    Both inputs are consumed by two filters each (hot / cold), so each
+    projected input is materialized once — one scan of the upstream
+    pipeline + zero-copy object-store reads for the two filters,
+    instead of re-running the upstream twice.  The union's schema is
+    made deterministic by casting every integer value column to
+    float64 on BOTH paths (the bucketed path's null-padding does this
+    implicitly; without the explicit cast the hot path emits int64
+    blocks and the output parquet would carry per-file schema drift).
+    """
     import pyarrow.compute as pc
 
     hot_arr = pa.array(sorted(set(int(k) for k in skew_keys)), pa.int64())
+    left = left.materialize()
+    right = right.materialize()
 
     def split(ds: ray.data.Dataset, keep_hot: bool) -> ray.data.Dataset:
         def fn(batch: pa.Table) -> pa.Table:
@@ -131,12 +152,27 @@ def _skew_join(
         return ds.map_batches(fn, batch_format="pyarrow")
 
     # same output-column naming as the bucketed path
-    left_cols = [c for c in left.schema().names if c != on]
-    right_cols = [c for c in right.schema().names if c != on]
-    collisions = set(left_cols) & set(right_cols)
-    lmap = {c: c + suffixes[0] if c in collisions else c for c in left_cols}
-    rmap = {c: c + suffixes[1] if c in collisions else c for c in right_cols}
+    left_schema, right_schema = left.schema(), right.schema()
+    left_cols = [c for c in left_schema.names if c != on]
+    right_cols = [c for c in right_schema.names if c != on]
+    lmap, rmap = _column_maps(left_cols, right_cols, suffixes)
     out_cols = [on, *(lmap[c] for c in left_cols), *(rmap[c] for c in right_cols)]
+    # value columns that the bucketed path widens to float (int + nulls)
+    float_cols = {
+        lmap[c]
+        for c, t in zip(left_schema.names, left_schema.types)
+        if c in lmap and pa.types.is_integer(t)
+    } | {
+        rmap[c]
+        for c, t in zip(right_schema.names, right_schema.types)
+        if c in rmap and pa.types.is_integer(t)
+    }
+
+    def align(batch: pa.Table) -> pa.Table:
+        for c in float_cols:
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(i, c, batch[c].cast(pa.float64()))
+        return batch
 
     # hot right side: small per hot key by contract — broadcast once
     hot_right = split(right, True).take_all()
@@ -146,7 +182,7 @@ def _skew_join(
         # map-side merge still aligns on the int64 key
         hot_df = pd.DataFrame(
             {on: pd.Series([], dtype=np.int64),
-             **{rmap[c]: pd.Series([], dtype=object) for c in right_cols}}
+             **{rmap[c]: pd.Series([], dtype=np.float64) for c in right_cols}}
         )
     hot_ref = ray.put(hot_df)
 
@@ -156,12 +192,12 @@ def _skew_join(
         rhs = process_cached(("skew_join_rhs", hot_ref.hex()), lambda: ray.get(hot_ref))
         lhs = batch.to_pandas().rename(columns=lmap)
         merged = lhs.merge(rhs, on=on, how=how)
-        return pa.Table.from_pandas(merged[out_cols], preserve_index=False)
+        return align(pa.Table.from_pandas(merged[out_cols], preserve_index=False))
 
     hot_joined = split(left, True).map_batches(map_side, batch_format="pyarrow")
     cold_joined = hash_join(
         split(left, False), split(right, False), on, how, n_buckets, suffixes
-    )
+    ).map_batches(align, batch_format="pyarrow")
     return cold_joined.union(hot_joined)
 
 
