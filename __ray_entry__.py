@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_shards": q.q_pack_shards,
         "curate_counts": q.q_curate_counts,
         "user_event_pivot": q.q_user_event_pivot,
+        "bloom_anti_join": q.q_bloom_anti_join,
         "lang_source_rollup": q.q_lang_source_rollup,
         # rows-only (non-SQL-expressible) checks
         "dedup_minhash": q.q_dedup_minhash,
@@ -466,6 +467,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE grams IS NOT NULL
               AND 1.0 - len(list_distinct(grams)) * 1.0 / len(grams) > 0.01
             GROUP BY lang
+        """,
+        "bloom_anti_join": f"""
+            WITH cached AS (
+                SELECT DISTINCT ({UX}) * {w3} // 4294967296 * 1000
+                              + ({UY}) * {h3} // 4294967296 AS tkey
+                FROM documents WHERE doc_id < 20
+            )
+            SELECT doc_id FROM documents
+            WHERE ({UX}) * {w3} // 4294967296 * 1000
+                + ({UY}) * {h3} // 4294967296 NOT IN (SELECT tkey FROM cached)
         """,
         "user_event_pivot": """
             SELECT user_id,

@@ -271,3 +271,29 @@ def test_skew_join_matches_plain_join():
         if b.num_rows
     }
     assert len(kinds) == 1, kinds
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_anti_join_exact_under_false_positives():
+    """A deliberately tiny bitmap (high FP rate) must still give the
+    exact anti-join thanks to the residue verification pass."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tilecloud_chain_ray.stages.bloom import bloom_anti_join, bloom_build_block, bloom_contains
+
+    left_keys = np.arange(10_000, dtype=np.int64)
+    right_keys = np.arange(0, 10_000, 7, dtype=np.int64)  # every 7th present
+    left = ray.data.from_arrow(
+        pa.Table.from_pydict({"k": pa.array(left_keys), "v": pa.array(left_keys * 2)})
+    ).repartition(6)
+    right = ray.data.from_arrow(pa.Table.from_pydict({"k": pa.array(right_keys)}))
+    # bits_per_key=2 -> FP rate ~38%: the prefilter alone would be wrong
+    out = bloom_anti_join(left, right, on="k", n_keys_hint=len(right_keys), bits_per_key=2)
+    got = sorted(r["k"] for r in out.take_all())
+    want = sorted(set(left_keys.tolist()) - set(right_keys.tolist()))
+    assert got == want
+    # and the filter itself has NO false negatives by construction
+    bm = bloom_build_block(right_keys, 256, 3)
+    assert bloom_contains(bm, right_keys, 256, 3).all()

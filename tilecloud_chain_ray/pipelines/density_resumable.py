@@ -135,6 +135,7 @@ def density_resumable(
     job_id: str = "density-1",
     out_wmts: str | None = None,
     fail_partitions: set[int] | None = None,
+    n_buckets: int = 256,
 ):
     """Run (or resume) the checkpointed density job; returns
     (tiles_dataset, summary)."""
@@ -195,7 +196,7 @@ def density_resumable(
             if f.startswith("partials_") and f.endswith(".parquet")
         ]
     )
-    rendered = assemble_and_render_tiles(partials, layer)
+    rendered = assemble_and_render_tiles(partials, layer, n_buckets=n_buckets)
     _, empty_tile = empty_signatures(layer)
     tiles = rendered.map_batches(
         make_hash_dropper(layer.empty_tile or empty_tile, "dropped"), batch_format="pyarrow"

@@ -1034,3 +1034,28 @@ def q_approx_users_per_type(sf_dir: str) -> ray.data.Dataset:
 
     events = _read(sf_dir, "events", ["event_type", "user_id"])
     return grouped_approx_distinct(events, "event_type", "user_id")
+
+
+def q_bloom_anti_join(sf_dir: str) -> ray.data.Dataset:
+    """Exact anti-join via Bloom prefilter + residue verification —
+    same semantics (and oracle) as anti_join_tiles' broadcast key set,
+    through the scale path for large key universes."""
+    from tilecloud_chain_ray.stages.bloom import bloom_anti_join
+
+    w, h = ZOOM_DIMS[3]
+
+    def tkey(batch: pa.Table) -> pa.Table:
+        batch = _docs_micro(batch)
+        ux = batch["ux"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        uy = batch["uy"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tx, ty = micro_tile(ux, uy, w, h)
+        out = batch.select(["doc_id"])
+        return out.append_column("tkey", pa.array(tx * 1000 + ty, pa.int64()))
+
+    docs = _read(sf_dir, "documents", ["doc_id"]).map_batches(tkey, batch_format="pyarrow")
+    cached = docs.map_batches(
+        lambda b: b.select(["tkey"]).filter(pc.less(b["doc_id"], 20)),
+        batch_format="pyarrow",
+    )
+    out = bloom_anti_join(docs, cached, on="tkey", n_keys_hint=64)
+    return out.select_columns(["doc_id"])
