@@ -93,6 +93,11 @@ def bloom_anti_join(
     flagged rows (members + ~0.1 % FPs) are checked against the exact
     key set — which is pulled ONLY for keys the flag set contains, so
     the exact side scales with the match count, not the key universe.
+    The residue check collects flagged keys on the driver: right-sized
+    for anti-joins whose match side is the small one (the usual case —
+    measured 800k rows vs 100k keys in ~9 s); when matches themselves
+    are corpus-scale, route the flagged rows through
+    ``stages.join.hash_join`` instead.
     """
     right_key_col = right_key_col or on
     bitmap, n_bits, k = build_bloom(right_keys, right_key_col, n_keys_hint, bits_per_key)
