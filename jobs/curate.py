@@ -59,6 +59,14 @@ def main() -> None:
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None)
     args = ap.parse_args()
 
+    shards_dir = args.out.rstrip("/") + "_shards"
+    for d in (args.out, shards_dir) if args.shard_budget else (args.out,):
+        if os.path.exists(d) and os.listdir(d):
+            raise SystemExit(
+                f"{d} exists and is non-empty — parquet writes APPEND, which "
+                "would double-count; remove it or pass a fresh --out"
+            )
+
     import ray
 
     if not ray.is_initialized():
@@ -92,16 +100,22 @@ def main() -> None:
     n_out = result.survivors.count()
     n_shards = None
     if result.shards is not None:
-        shards_dir = args.out.rstrip("/") + "_shards"
         result.shards.write_parquet(shards_dir)
         # count distinct (lang, shard) pairs — shard ids restart at 0
         # per group — from the WRITTEN manifest (re-consuming
         # result.shards would re-execute the scan shuffle)
+        import glob
+
         import duckdb
 
-        n_shards = duckdb.connect().execute(
-            f"SELECT count(DISTINCT (lang, shard)) FROM read_parquet('{shards_dir}/*.parquet')"
-        ).fetchone()[0]
+        files = glob.glob(os.path.join(shards_dir, "*.parquet"))
+        if files:
+            con = duckdb.connect()
+            n_shards = con.execute(
+                "SELECT count(DISTINCT (lang, shard)) FROM read_parquet(?)", [files]
+            ).fetchone()[0]
+        else:
+            n_shards = 0
     print(json.dumps({"survivors": n_out, "out": args.out, "shards": n_shards}))
     ray.shutdown()
 

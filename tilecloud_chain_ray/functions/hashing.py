@@ -92,3 +92,12 @@ def sha1_bytes(data: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, list[bytes
             sizes[i] = len(v)
             hashes.append(hashlib.sha1(v).hexdigest().encode())
     return sizes, hashes
+
+
+def mix64(h: "np.ndarray") -> "np.ndarray":
+    """splitmix64 finalizer (public-domain constants) — the engine's
+    shared 64-bit scrambler (HLL sketches, Bloom filters)."""
+    h = h.astype(np.uint64)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))

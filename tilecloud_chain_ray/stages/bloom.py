@@ -25,11 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-
-def _mix64(h: np.ndarray) -> np.ndarray:
-    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return h ^ (h >> np.uint64(31))
+from tilecloud_chain_ray.functions.hashing import mix64 as _mix64
 
 
 def _bit_positions(keys: np.ndarray, n_bits: int, k: int) -> np.ndarray:
@@ -100,6 +96,9 @@ def bloom_anti_join(
     ``stages.join.hash_join`` instead.
     """
     right_key_col = right_key_col or on
+    # consumed twice (bitmap build + residue present-check): pin the
+    # key projection once instead of re-running its upstream pipeline
+    right_keys = right_keys.select_columns([right_key_col]).materialize()
     bitmap, n_bits, k = build_bloom(right_keys, right_key_col, n_keys_hint, bits_per_key)
     bm_ref = ray.put(bitmap)
 

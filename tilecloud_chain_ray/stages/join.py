@@ -21,6 +21,29 @@ import pyarrow as pa
 import ray
 
 
+def _output_schema(
+    on: str,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    lmap: dict[str, str],
+    rmap: dict[str, str],
+) -> pa.Schema:
+    """Deterministic join-output schema: key int64, integer value
+    columns widened to float64 (they can carry nulls under left joins /
+    null-padding), everything else keeps its arrow type.  Both the
+    bucketed and the skew paths cast to this, so no block or parquet
+    file can drift (Ray's pandas conversion otherwise null-types
+    all-NaN columns per group)."""
+    fields = [pa.field(on, pa.int64())]
+    for c, t in zip(left_schema.names, left_schema.types):
+        if c in lmap:
+            fields.append(pa.field(lmap[c], pa.float64() if pa.types.is_integer(t) else t))
+    for c, t in zip(right_schema.names, right_schema.types):
+        if c in rmap:
+            fields.append(pa.field(rmap[c], pa.float64() if pa.types.is_integer(t) else t))
+    return pa.schema(fields)
+
+
 def _column_maps(
     left_cols: list[str], right_cols: list[str], suffixes: tuple[str, str]
 ) -> tuple[dict[str, str], dict[str, str]]:
@@ -73,9 +96,11 @@ def hash_join(
 
     # union of tagged sides: schemas differ -> pad each side with the
     # other side's columns as nulls so the union has one schema
-    left_cols = [c for c in left.schema().names if c != on]
-    right_cols = [c for c in right.schema().names if c != on]
+    left_schema, right_schema = left.schema(), right.schema()
+    left_cols = [c for c in left_schema.names if c != on]
+    right_cols = [c for c in right_schema.names if c != on]
     lmap, rmap = _column_maps(left_cols, right_cols, suffixes)
+    out_schema = _output_schema(on, left_schema, right_schema, lmap, rmap)
 
     def widen(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -108,11 +133,13 @@ def hash_join(
     lcols_out = [lmap[c] for c in left_cols]
     rcols_out = [rmap[c] for c in right_cols]
 
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(group: pd.DataFrame) -> pa.Table:
         lhs = group[group["__side"] == 0][[on, *lcols_out]]
         rhs = group[group["__side"] == 1][[on, *rcols_out]]
         merged = lhs.merge(rhs, on=on, how=how)
-        return merged
+        # explicit arrow cast: int value columns -> float64 everywhere,
+        # all-null columns get their real type (not arrow null type)
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(out_schema)
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
@@ -157,22 +184,11 @@ def _skew_join(
     right_cols = [c for c in right_schema.names if c != on]
     lmap, rmap = _column_maps(left_cols, right_cols, suffixes)
     out_cols = [on, *(lmap[c] for c in left_cols), *(rmap[c] for c in right_cols)]
-    # value columns that the bucketed path widens to float (int + nulls)
-    float_cols = {
-        lmap[c]
-        for c, t in zip(left_schema.names, left_schema.types)
-        if c in lmap and pa.types.is_integer(t)
-    } | {
-        rmap[c]
-        for c, t in zip(right_schema.names, right_schema.types)
-        if c in rmap and pa.types.is_integer(t)
-    }
+
+    target_schema = _output_schema(on, left_schema, right_schema, lmap, rmap)
 
     def align(batch: pa.Table) -> pa.Table:
-        for c in float_cols:
-            i = batch.schema.get_field_index(c)
-            batch = batch.set_column(i, c, batch[c].cast(pa.float64()))
-        return batch
+        return batch.select(out_cols).cast(target_schema)
 
     # hot right side: small per hot key by contract — broadcast once
     hot_right = split(right, True).take_all()
@@ -182,7 +198,14 @@ def _skew_join(
         # map-side merge still aligns on the int64 key
         hot_df = pd.DataFrame(
             {on: pd.Series([], dtype=np.int64),
-             **{rmap[c]: pd.Series([], dtype=np.float64) for c in right_cols}}
+             **{
+                 rmap[c]: pd.Series(
+                     [],
+                     dtype=(np.float64 if pa.types.is_integer(t) else object),
+                 )
+                 for c, t in zip(right_schema.names, right_schema.types)
+                 if c in rmap
+             }}
         )
     hot_ref = ray.put(hot_df)
 

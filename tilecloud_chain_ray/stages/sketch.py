@@ -17,12 +17,10 @@ import ray
 
 def _hll_registers(keys: np.ndarray, p: int) -> np.ndarray:
     """Dense HLL registers (2^p uint8) for int64 keys."""
+    from tilecloud_chain_ray.functions.hashing import mix64
+
     m = 1 << p
-    # 64-bit mix (splitmix64 finalizer, public domain constants)
-    h = keys.astype(np.uint64)
-    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    h = h ^ (h >> np.uint64(31))
+    h = mix64(keys)
     idx = (h & np.uint64(m - 1)).astype(np.int64)
     w = h >> np.uint64(p)
     # rank = position of first 1-bit in the remaining 64-p bits (1-based)
