@@ -83,6 +83,40 @@ def main() -> None:
     pages = ray.data.read_parquet(pages_dir, columns=["url", "text"])
     dups = exact_dedup(pages, key_col="url").to_pandas()
     print(f"exact dedup: {len(dups)} distinct texts, {int((dups['dup_count'] > 1).sum())} dup groups")
+
+    # -- (c) the training-data curation leg -----------------------------
+    import numpy as np
+    import pyarrow as pa
+    import zlib
+
+    from tilecloud_chain_ray.pipelines.curate import curate_corpus
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        ids = np.array(
+            [zlib.crc32(u.encode()) for u in batch["url"].to_pylist()], dtype=np.int64
+        )
+        lang = np.where(ids % 2 == 0, "en", "de")
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(lang.tolist(), pa.string()),
+                "text": batch["text"],
+            }
+        )
+
+    docs = pages.map_batches(to_docs, batch_format="pyarrow")
+    curated = curate_corpus(
+        docs,
+        out_dir=f"{out_root}/corpus",
+        quality_min=0.3,
+        rep_max=0.9,
+        sample_rates=0.8,
+        shard_budget=100_000,
+    )
+    n_surv = curated.survivors.count()
+    n_shard_rows = curated.shards.count()
+    print(f"curated corpus: {n_surv} survivors -> {out_root}/corpus (lang=*/), "
+          f"{n_shard_rows} shard assignments")
     ray.shutdown()
 
 
