@@ -297,3 +297,102 @@ def test_bloom_anti_join_exact_under_false_positives():
     # and the filter itself has NO false negatives by construction
     bm = bloom_build_block(right_keys, 256, 3)
     assert bloom_contains(bm, right_keys, 256, 3).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_high_cardinality_bucketed():
+    """asof_join must scale with n_buckets, not distinct keys: 100k
+    distinct keys / 200k rows through the bucketed path, equal to a
+    single-process pandas merge_asof(by=key) reference, inside a loose
+    wall-time bound (the old per-key groupby took minutes here)."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from tilecloud_chain_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(42)
+    n_keys, n_left, n_right = 100_000, 100_000, 100_000
+    lkey = rng.integers(0, n_keys, n_left).astype(np.int64)
+    lts = rng.integers(0, 10_000_000, n_left).astype(np.int64)
+    rkey = rng.integers(0, n_keys, n_right).astype(np.int64)
+    rts = rng.integers(0, 10_000_000, n_right).astype(np.int64)
+    left = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"k": pa.array(lkey), "t": pa.array(lts), "lid": pa.array(np.arange(n_left))}
+        )
+    ).repartition(8)
+    right = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"k": pa.array(rkey), "t": pa.array(rts), "val": pa.array(rts * 3)}
+        )
+    ).repartition(8)
+
+    t0 = time.perf_counter()
+    got = (
+        asof_join(left, right, key="k", ts="t", right_cols=["val"], strict=True)
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 60, f"bucketed asof took {elapsed:.1f}s"
+
+    ldf = pd.DataFrame({"k": lkey, "t": lts, "lid": np.arange(n_left)}).sort_values(
+        "t", kind="mergesort"
+    )
+    rdf = pd.DataFrame({"k": rkey, "t": rts, "r_val": rts * 3}).sort_values(
+        "t", kind="mergesort"
+    )
+    want = (
+        pd.merge_asof(ldf, rdf, on="t", by="k", allow_exact_matches=False, direction="backward")
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n_left
+    pd.testing.assert_series_equal(
+        got["r_val"], want["r_val"], check_dtype=False, check_names=False
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_inner_preserves_int_dtypes():
+    """Inner joins can never null-pad, so integer value columns must
+    come out with their input types (the float64 widening applies only
+    under how="left", and only to the right side)."""
+    import pyarrow as pa
+    import ray
+
+    from tilecloud_chain_ray.stages.join import hash_join
+
+    left = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "k": pa.array([1, 2, 3], pa.int64()),
+                "a": pa.array([10, 20, 30], pa.int32()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "k": pa.array([2, 3, 4], pa.int64()),
+                "b": pa.array([7, 8, 9], pa.int64()),
+            }
+        )
+    )
+    inner = hash_join(left, right, on="k", how="inner")
+    schema = {f.name: f.type for b in inner.iter_batches(batch_format="pyarrow") for f in b.schema}
+    assert schema["a"] == pa.int32(), schema
+    assert schema["b"] == pa.int64(), schema
+    got = sorted((r["k"], r["a"], r["b"]) for r in inner.take_all())
+    assert got == [(2, 20, 7), (3, 30, 8)]
+
+    # left join: left side keeps ints, right side widens (carries nulls)
+    lj = hash_join(left, right, on="k", how="left")
+    schema = {f.name: f.type for b in lj.iter_batches(batch_format="pyarrow") for f in b.schema}
+    assert schema["a"] == pa.int32(), schema
+    assert schema["b"] == pa.float64(), schema

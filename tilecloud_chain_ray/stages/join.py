@@ -27,21 +27,35 @@ def _output_schema(
     right_schema: pa.Schema,
     lmap: dict[str, str],
     rmap: dict[str, str],
+    how: str = "inner",
 ) -> pa.Schema:
-    """Deterministic join-output schema: key int64, integer value
-    columns widened to float64 (they can carry nulls under left joins /
-    null-padding), everything else keeps its arrow type.  Both the
-    bucketed and the skew paths cast to this, so no block or parquet
-    file can drift (Ray's pandas conversion otherwise null-types
-    all-NaN columns per group)."""
+    """Deterministic join-output schema: key int64; RIGHT-side integer
+    value columns widen to float64 only under ``how="left"`` (the only
+    case where the merge itself pads them with nulls — inner joins and
+    the left side of a left join keep their integer types); everything
+    else keeps its arrow type.  Both the bucketed and the skew paths
+    cast to this, so no block or parquet file can drift (Ray's pandas
+    conversion otherwise null-types all-NaN columns per group)."""
     fields = [pa.field(on, pa.int64())]
     for c, t in zip(left_schema.names, left_schema.types):
         if c in lmap:
-            fields.append(pa.field(lmap[c], pa.float64() if pa.types.is_integer(t) else t))
+            fields.append(pa.field(lmap[c], t))
+    widen_right = how == "left"
     for c, t in zip(right_schema.names, right_schema.types):
         if c in rmap:
-            fields.append(pa.field(rmap[c], pa.float64() if pa.types.is_integer(t) else t))
+            t_out = pa.float64() if (widen_right and pa.types.is_integer(t)) else t
+            fields.append(pa.field(rmap[c], t_out))
     return pa.schema(fields)
+
+
+def _frame_to_schema(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
+    """pandas -> arrow honoring the target schema per column.
+    ``Array.from_pandas(series, type=...)`` maps NaN -> null even when
+    the pandas column was upcast to float64 by null padding, which a
+    plain ``Table.cast`` cannot do (safe float->int cast rejects NaN)."""
+    return pa.Table.from_arrays(
+        [pa.Array.from_pandas(df[f.name], type=f.type) for f in schema], schema=schema
+    )
 
 
 def _column_maps(
@@ -100,7 +114,7 @@ def hash_join(
     left_cols = [c for c in left_schema.names if c != on]
     right_cols = [c for c in right_schema.names if c != on]
     lmap, rmap = _column_maps(left_cols, right_cols, suffixes)
-    out_schema = _output_schema(on, left_schema, right_schema, lmap, rmap)
+    out_schema = _output_schema(on, left_schema, right_schema, lmap, rmap, how)
 
     def widen(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -137,9 +151,10 @@ def hash_join(
         lhs = group[group["__side"] == 0][[on, *lcols_out]]
         rhs = group[group["__side"] == 1][[on, *rcols_out]]
         merged = lhs.merge(rhs, on=on, how=how)
-        # explicit arrow cast: int value columns -> float64 everywhere,
-        # all-null columns get their real type (not arrow null type)
-        return pa.Table.from_pandas(merged, preserve_index=False).cast(out_schema)
+        # per-column arrow conversion to the fixed schema: restores the
+        # integer widths the null-padded union upcast to float64, and
+        # gives all-null columns their real type (not arrow null type)
+        return _frame_to_schema(merged, out_schema)
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
@@ -185,7 +200,7 @@ def _skew_join(
     lmap, rmap = _column_maps(left_cols, right_cols, suffixes)
     out_cols = [on, *(lmap[c] for c in left_cols), *(rmap[c] for c in right_cols)]
 
-    target_schema = _output_schema(on, left_schema, right_schema, lmap, rmap)
+    target_schema = _output_schema(on, left_schema, right_schema, lmap, rmap, how)
 
     def align(batch: pa.Table) -> pa.Table:
         return batch.select(out_cols).cast(target_schema)
@@ -201,7 +216,11 @@ def _skew_join(
              **{
                  rmap[c]: pd.Series(
                      [],
-                     dtype=(np.float64 if pa.types.is_integer(t) else object),
+                     dtype=(
+                         target_schema.field(rmap[c]).type.to_pandas_dtype()
+                         if pa.types.is_integer(t) or pa.types.is_floating(t)
+                         else object
+                     ),
                  )
                  for c, t in zip(right_schema.names, right_schema.types)
                  if c in rmap
@@ -266,20 +285,32 @@ def asof_join(
     ts: str,
     right_cols: list[str],
     strict: bool = True,
+    n_buckets: int = 64,
 ) -> ray.data.Dataset:
     """As-of join: for each left row, the latest right row of the same
     ``key`` with ``right.ts < left.ts`` (``strict``) or ``<=``.
 
-    SURVEY.md "custom operators" shape (a): bucket both sides by key
-    (groupby is the co-location), sort within the group, and run
-    ``pd.merge_asof`` per key group.  Assumes per-key history fits one
-    group — the standard as-of partitioning assumption; salt by time
-    range when a single key's history is huge.
+    SURVEY.md "custom operators" shape (a), bucketed: both sides land
+    in ``hash(key) % n_buckets`` groups (same multiplicative hash as
+    ``hash_join``), so the shuffle's distinct-group count is bounded by
+    ``n_buckets`` — NOT by distinct keys, which is row-scale for
+    clickstreams and the shape BASELINE.md's ledger measured at ~30x
+    slower (per-group scheduling ~1 ms × millions of keys).  Inside a
+    bucket ONE vectorized ``pd.merge_asof(..., by=key)`` handles every
+    key at once.  Each key's full history co-locates in its bucket —
+    the standard as-of partitioning assumption; salt by time range when
+    a single key's history is huge.
     """
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
+            k = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+            bucket = (
+                ((k * np.uint64(0x9E3779B1)) & np.uint64(0x7FFFFFFF))
+                % np.uint64(n_buckets)
+            ).astype(np.int64)
+            out = batch.append_column("__bucket", pa.array(bucket, pa.int64()))
+            return out.append_column(
                 "__side",
                 pa.array(np.full(batch.num_rows, side, dtype=np.int8), pa.int8()),
             )
@@ -289,7 +320,7 @@ def asof_join(
     left_schema = left.schema()
     left_cols = [c for c in left_schema.names if c not in (key, ts)]
     # The null-padded union makes every left column nullable, so pandas
-    # upcasts ints to float64 inside merge_group; remember each integral
+    # upcasts ints to float64 inside merge_bucket; remember each integral
     # left column's ORIGINAL width so we can cast back (int32 stays
     # int32).  Left rows CAN carry real nulls, so the cast is per-group
     # conditional — a column with NaN in this group passes through as
@@ -308,6 +339,7 @@ def asof_join(
                 cols[c] = batch[c] if side == 0 else pa.nulls(n)
             for c in right_cols:
                 cols["r_" + c] = batch[c] if side == 1 else pa.nulls(n)
+            cols["__bucket"] = batch["__bucket"]
             return pa.Table.from_pydict(cols)
 
         return fn
@@ -319,17 +351,19 @@ def asof_join(
         widen(1), batch_format="pyarrow"
     )
     both = lt.union(rt)
+    rcols = ["r_" + c for c in right_cols]
 
-    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
-        lhs = group[group["__side"] == 0].sort_values(ts)
-        rhs = group[group["__side"] == 1].sort_values(ts)
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # merge_asof(by=) wants both frames globally sorted by ts only
+        lhs = group[group["__side"] == 0].sort_values(ts, kind="mergesort")
+        rhs = group[group["__side"] == 1].sort_values(ts, kind="mergesort")
         if lhs.empty:
-            return lhs.drop(columns=["__side"])
-        rename = {"r_" + c: "r_" + c for c in right_cols}
+            return lhs.drop(columns=["__side", "__bucket"])
         merged = pd.merge_asof(
             lhs[[key, ts, *left_cols]],
-            rhs[[ts, *rename]],
+            rhs[[key, ts, *rcols]],
             on=ts,
+            by=key,
             allow_exact_matches=not strict,
             direction="backward",
         )
@@ -338,4 +372,4 @@ def asof_join(
                 merged[c] = merged[c].astype(dtype)
         return merged
 
-    return both.groupby(key).map_groups(merge_group, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
