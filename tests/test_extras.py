@@ -396,3 +396,63 @@ def test_hash_join_inner_preserves_int_dtypes():
     schema = {f.name: f.type for b in lj.iter_batches(batch_format="pyarrow") for f in b.schema}
     assert schema["a"] == pa.int32(), schema
     assert schema["b"] == pa.float64(), schema
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_anti_join_distributed_residue_equals_driver():
+    """force_distributed routes the flagged residue through the
+    bucketed arrow anti-join; at bits_per_key=2 (~38% FP) both paths
+    must produce the exact anti-join with identical schema."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tilecloud_chain_ray.stages.bloom import bloom_anti_join
+
+    rng = np.random.default_rng(9)
+    left_keys = rng.integers(0, 50_000, 30_000).astype(np.int64)
+    right_keys = np.unique(rng.integers(0, 50_000, 20_000)).astype(np.int64)
+    # duplicate right keys on purpose: the anti-check must not fan out
+    right_dup = np.concatenate([right_keys, right_keys[:500]])
+    left = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"k": pa.array(left_keys), "v": pa.array((left_keys * 3).astype(np.int32), pa.int32())}
+        )
+    ).repartition(6)
+    right = ray.data.from_arrow(pa.Table.from_pydict({"k": pa.array(right_dup)}))
+
+    kw = dict(on="k", n_keys_hint=len(right_keys), bits_per_key=2)
+    driver = bloom_anti_join(left, right, **kw)
+    dist = bloom_anti_join(left, right, force_distributed=True, **kw)
+    want = sorted(
+        (int(k), int(k) * 3) for k in left_keys if k not in set(right_keys.tolist())
+    )
+    got_driver = sorted((r["k"], r["v"]) for r in driver.take_all())
+    got_dist = sorted((r["k"], r["v"]) for r in dist.take_all())
+    assert got_driver == want
+    assert got_dist == want
+    # schema parity across physical paths (int32 column survives)
+    kinds = {
+        tuple(str(t) for t in b.schema.types)
+        for b in dist.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    }
+    assert kinds == {("int64", "int32")}, kinds
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_build_tree_reduce_equals_driver_merge():
+    """The groupby tree-reduced bitmap build must produce bit-identical
+    output to the driver OR-merge."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tilecloud_chain_ray.stages.bloom import build_bloom
+
+    keys = np.arange(0, 100_000, 3, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.Table.from_pydict({"k": pa.array(keys)})).repartition(10)
+    bm_driver, nb1, k1 = build_bloom(ds, "k", len(keys), tree_reduce_min_bytes=1 << 40)
+    bm_tree, nb2, k2 = build_bloom(ds, "k", len(keys), tree_reduce_min_bytes=0)
+    assert (nb1, k1) == (nb2, k2)
+    assert np.array_equal(bm_driver, bm_tree)

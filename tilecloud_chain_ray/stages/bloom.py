@@ -54,23 +54,107 @@ def bloom_contains(bitmap: np.ndarray, keys: np.ndarray, n_bits: int, k: int) ->
 
 
 def build_bloom(
-    keys_ds: ray.data.Dataset, key_col: str, n_keys_hint: int, bits_per_key: int = 13
+    keys_ds: ray.data.Dataset,
+    key_col: str,
+    n_keys_hint: int,
+    bits_per_key: int = 13,
+    reduce_fanout: int = 16,
+    tree_reduce_min_bytes: int = 1 << 20,
 ) -> tuple[np.ndarray, int, int]:
     """Distributed bitmap build: one fixed-size partial per block,
     OR-merged.  Returns (bitmap, n_bits, k).  k = ln2 * bits_per_key
-    (≈0.7), FP ≈ 0.6185^bits_per_key (~0.1 % at 13)."""
+    (≈0.7), FP ≈ 0.6185^bits_per_key (~0.1 % at 13).
+
+    Large bitmaps (>= ``tree_reduce_min_bytes``) merge through a
+    groupby tree first: each block's partial lands in one of
+    ``reduce_fanout`` slots, slots OR-merge in tasks, and the driver
+    only merges ``reduce_fanout`` bitmaps — n_blocks × bitmap bytes of
+    driver traffic becomes fanout × bitmap bytes.  Small bitmaps skip
+    the shuffle barrier and OR directly on the driver."""
     n_bits = max(64, n_keys_hint * bits_per_key)
     k = max(1, int(round(0.693 * bits_per_key)))
+    bm_bytes = (n_bits + 7) // 8
 
     def block_bitmap(batch: pa.Table) -> pa.Table:
         keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         bm = bloom_build_block(keys, n_bits, k)
-        return pa.Table.from_pydict({"bm": pa.array([bm.tobytes()], pa.binary())})
+        # slot assignment only needs balance, not determinism (OR is
+        # commutative): hash the block's first key + length
+        seed = np.uint64(keys.astype(np.uint64)[0] if len(keys) else 0) ^ np.uint64(len(keys))
+        slot = int(_mix64(np.array([seed], np.uint64))[0] % np.uint64(reduce_fanout))
+        return pa.Table.from_pydict(
+            {"slot": pa.array([slot], pa.int64()), "bm": pa.array([bm.tobytes()], pa.binary())}
+        )
 
-    merged = np.zeros((n_bits + 7) // 8, dtype=np.uint8)
-    for row in keys_ds.map_batches(block_bitmap, batch_format="pyarrow").iter_rows():
+    partials = keys_ds.map_batches(block_bitmap, batch_format="pyarrow")
+    if bm_bytes >= tree_reduce_min_bytes:
+        def or_group(g: pa.Table) -> pa.Table:
+            acc = np.zeros(bm_bytes, dtype=np.uint8)
+            for buf in g["bm"].to_pylist():
+                acc |= np.frombuffer(buf, dtype=np.uint8)
+            return pa.Table.from_pydict(
+                {"slot": pa.array([g["slot"][0].as_py()], pa.int64()),
+                 "bm": pa.array([acc.tobytes()], pa.binary())}
+            )
+
+        partials = partials.groupby("slot").map_groups(or_group, batch_format="pyarrow")
+
+    merged = np.zeros(bm_bytes, dtype=np.uint8)
+    for row in partials.iter_rows():
         merged |= np.frombuffer(row["bm"], dtype=np.uint8)
     return merged, n_bits, k
+
+
+def _anti_join_bucketed(
+    flagged: ray.data.Dataset,
+    right_keys: ray.data.Dataset,
+    on: str,
+    right_key_col: str,
+    n_buckets: int,
+) -> ray.data.Dataset:
+    """Exact bucketed anti-join of the flagged residue against the
+    right key set, all in arrow (no pandas upcast, so the output keeps
+    the left schema's exact types and unions cleanly with the
+    Bloom-cleared stream).  Duplicate right keys are harmless — the
+    per-bucket check is a set-membership ``is_in``."""
+    schema = flagged.schema()  # Ray Schema wrapper: .names / .types
+    cols = list(schema.names)
+    col_types = dict(zip(schema.names, schema.types))
+    key_type = col_types[on]
+
+    def bucket_of(keys: pa.ChunkedArray | pa.Array) -> pa.Array:
+        k = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (((k * np.uint64(0x9E3779B1)) & np.uint64(0x7FFFFFFF)) % np.uint64(n_buckets))
+        return pa.array(b.astype(np.int64), pa.int64())
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        out = b.append_column("__bucket", bucket_of(b[on]))
+        return out.append_column(
+            "__side", pa.array(np.zeros(b.num_rows, dtype=np.int8), pa.int8())
+        )
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        key = b[right_key_col].combine_chunks().cast(key_type)
+        data: dict = {}
+        for name in cols:
+            data[name] = key if name == on else pa.nulls(n, type=col_types[name])
+        data["__bucket"] = bucket_of(key)
+        data["__side"] = pa.array(np.ones(n, dtype=np.int8), pa.int8())
+        return pa.Table.from_pydict(data)
+
+    both = flagged.map_batches(tag_left, batch_format="pyarrow").union(
+        right_keys.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def anti(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        lf = g.filter(pc.equal(side, 0))
+        rk = g.filter(pc.equal(side, 1))[on].combine_chunks()
+        keep = pc.invert(pc.is_in(lf[on], value_set=rk))
+        return lf.filter(keep).select(cols)
+
+    return both.groupby("__bucket").map_groups(anti, batch_format="pyarrow")
 
 
 def bloom_anti_join(
@@ -80,20 +164,29 @@ def bloom_anti_join(
     right_key_col: str | None = None,
     n_keys_hint: int = 1 << 20,
     bits_per_key: int = 13,
+    residue_max_bytes: int = 32 << 20,
+    force_distributed: bool = False,
+    n_buckets: int = 64,
 ) -> ray.data.Dataset:
     """EXACT anti-join (left rows whose key is absent from right_keys)
     via Bloom prefilter + exact verification of the flagged residue.
 
     The bitmap (bits_per_key/8 bytes per right key) broadcasts once;
     definite non-members stream straight through with no shuffle; only
-    flagged rows (members + ~0.1 % FPs) are checked against the exact
-    key set — which is pulled ONLY for keys the flag set contains, so
-    the exact side scales with the match count, not the key universe.
-    The residue check collects flagged keys on the driver: right-sized
-    for anti-joins whose match side is the small one (the usual case —
-    measured 800k rows vs 100k keys in ~9 s); when matches themselves
-    are corpus-scale, route the flagged rows through
-    ``stages.join.hash_join`` instead.
+    flagged rows (members + ~0.1 % FPs) go through an exact check.
+    Two physical residue paths with identical semantics, byte-gated
+    like the dedup stages:
+
+    * **driver shortcut** — when the flagged key set fits
+      ``residue_max_bytes`` (~16 B/key), the flagged keys are
+      collected, the MATCHING right keys semi-filtered against them
+      and broadcast back (measured 800k rows vs 100k keys in ~9 s);
+    * **distributed** — over the gate (corpus-scale match sets), the
+      flagged rows and the right keys co-locate by ``hash(key) %
+      n_buckets`` and each bucket does a vectorized arrow anti-check
+      (``_anti_join_bucketed``): nothing key-shaped touches the
+      driver.  ``force_distributed`` pins this path for equality
+      testing.
     """
     right_key_col = right_key_col or on
     # consumed twice (bitmap build + residue present-check): pin the
@@ -119,6 +212,23 @@ def bloom_anti_join(
         lambda b: b.drop_columns(["_flagged"]).filter(b["_flagged"]),
         batch_format="pyarrow",
     )
+
+    # byte gate on the flagged-key volume (exact count — probed is
+    # already materialized, so this is a metadata-cheap second pass)
+    n_flagged = sum(
+        r["n"]
+        for r in probed.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"n": pa.array([int(pc.sum(pc.cast(b["_flagged"], pa.int64())).as_py() or 0)], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+    if force_distributed or n_flagged * 16 > residue_max_bytes:
+        fp_survivors = _anti_join_bucketed(
+            flagged_rows, right_keys, on, right_key_col, n_buckets
+        )
+        return clean.union(fp_survivors)
 
     # exact check of the residue: the flagged keys are few by design,
     # so an exact broadcast of the MATCHING right keys is bounded by
