@@ -721,6 +721,64 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return table
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    ham = np.zeros(len(x), dtype=np.int64)
+    v = x.copy()
+    for _ in range(64):
+        ham += (v & np.uint64(1)).astype(np.int64)
+        v >>= np.uint64(1)
+    return ham
+
+
+def _block_run_pairs(
+    bv: np.ndarray, ks: np.ndarray, hs: np.ndarray, max_hamming: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Candidate pairs within equal-``bv`` runs: sort by the packed
+    (block<<16 | value) id, then all-pairs hamming inside each run.
+    Duplicate keys inside a run are collapsed to their first occurrence
+    (no self-pairs).  Shared by the driver shortcut and the distributed
+    bucket pass so the two physical paths cannot diverge."""
+    order = np.argsort(bv, kind="stable")
+    sbv, sk, sh = bv[order], ks[order], hs[order]
+    starts = np.flatnonzero(np.r_[True, sbv[1:] != sbv[:-1]])
+    ends = np.r_[starts[1:], len(sbv)]
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_h: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        kk, hh = sk[s:e], sh[s:e]
+        o2 = np.argsort(kk, kind="stable")
+        kk, hh = kk[o2], hh[o2]
+        uniq = np.r_[True, kk[1:] != kk[:-1]]
+        kk, hh = kk[uniq], hh[uniq]
+        if len(kk) < 2:
+            continue
+        ia, ib = np.triu_indices(len(kk), k=1)
+        ham = _popcount64(hh[ia] ^ hh[ib])
+        ok = ham <= max_hamming
+        out_a.append(kk[ia][ok])
+        out_b.append(kk[ib][ok])
+        out_h.append(ham[ok])
+    if not out_a:
+        z = np.array([], dtype=np.int64)
+        return z, z, z
+    return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_h)
+
+
+def _fan_block_ids(ks: np.ndarray, hs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Each (key, simhash) row fans out to its 4 packed block ids
+    ``bv = blk << 16 | quarter`` (cardinality <= 4 * 65536)."""
+    n = len(ks)
+    bvs = np.empty(4 * n, dtype=np.int64)
+    for blk in range(4):
+        part = ((hs >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int64)
+        bvs[blk * n : (blk + 1) * n] = (blk << 16) | part
+    return bvs, np.tile(ks, 4), np.tile(hs, 4)
+
+
 def simhash_candidates(
     ds: ray.data.Dataset,
     key_col: str = "doc_id",
@@ -728,107 +786,79 @@ def simhash_candidates(
     max_hamming: int = 3,
     small_table_max_bytes: int = 96 << 20,
     force_distributed: bool = False,
+    n_buckets: int = 256,
 ) -> ray.data.Dataset:
     """Near-dup pairs with hamming(simhash) <= max_hamming, blocked on
-    any equal 16-bit quarter (exact for max_hamming <= 3 by pigeonhole)."""
+    any equal 16-bit quarter (exact for max_hamming <= 3 by pigeonhole).
+
+    Both physical paths run ONE pass over the hash table: the 4
+    blockings are packed into a single (block, value) id per fanned
+    row, so the distributed path is a single salted groupby (formerly
+    4x(hot-count groupby + take_all + filter + groupby))."""
     hashed = ds.map_batches(
-        lambda b: simhash_batch(b, text_col).select(
-            [key_col, "simhash", "simhash_b0", "simhash_b1", "simhash_b2", "simhash_b3"]
-        ),
+        lambda b: simhash_batch(b, text_col).select([key_col, "simhash"]),
         batch_format="pyarrow",
     )
 
-    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
-        ks = g[key_col].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ks) < 2:
-            return pd.DataFrame({"key_a": [], "key_b": [], "hamming": []})
-        ia, ib = np.triu_indices(len(ks), k=1)
-        x = hs[ia] ^ hs[ib]
-        ham = np.zeros(len(x), dtype=np.int64)
-        v = x.copy()
-        for _ in range(64):
-            ham += (v & np.uint64(1)).astype(np.int64)
-            v >>= np.uint64(1)
-        ok = ham <= max_hamming
-        return pd.DataFrame({"key_a": ks[ia][ok], "key_b": ks[ib][ok], "hamming": ham[ok]})
+    hashed = hashed.materialize()  # reused by the count gate + pair pass
 
-    hashed = hashed.materialize()  # reused by 4 block passes
-
-    # ~48 B/row: key + simhash + 4 block ints — gate in bytes, not rows
-    if not force_distributed and hashed.count() * 48 <= small_table_max_bytes:
+    # ~16 B/row: key + simhash — gate in bytes, not rows
+    if not force_distributed and hashed.count() * 16 <= small_table_max_bytes:
         # small hash table: one driver-side pass over all 4 blockings
         # (same shape as the minhash shortcut)
         tbl = pa.concat_tables(list(hashed.iter_batches(batch_format="pyarrow")))
         ks_all = tbl[key_col].to_numpy(zero_copy_only=False)
         hs_all = tbl["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pair_ham: dict[tuple, int] = {}
-        for blk in range(4):
-            part = ((hs_all >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int64)
-            order = np.argsort(part, kind="stable")
-            sp, sk, sh = part[order], ks_all[order], hs_all[order]
-            starts = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]])
-            ends = np.r_[starts[1:], len(sp)]
-            for s, e in zip(starts, ends):
-                if e - s < 2:
-                    continue
-                ks = sk[s:e]
-                hs = sh[s:e]
-                o2 = np.argsort(ks, kind="stable")
-                ks, hs = ks[o2], hs[o2]
-                ia, ib = np.triu_indices(len(ks), k=1)
-                x = hs[ia] ^ hs[ib]
-                ham = np.zeros(len(x), dtype=np.int64)
-                v = x.copy()
-                for _ in range(64):
-                    ham += (v & np.uint64(1)).astype(np.int64)
-                    v >>= np.uint64(1)
-                ok = ham <= max_hamming
-                for a, b, hm in zip(ks[ia][ok], ks[ib][ok], ham[ok]):
-                    key = (int(a), int(b))
-                    if key not in pair_ham or pair_ham[key] > hm:
-                        pair_ham[key] = int(hm)
-        items = sorted(pair_ham.items())
+        a, b, h = _block_run_pairs(*_fan_block_ids(ks_all, hs_all), max_hamming)
+        df = (
+            pd.DataFrame({"key_a": a, "key_b": b, "hamming": h})
+            .groupby(["key_a", "key_b"], as_index=False)["hamming"]
+            .min()
+            .sort_values(["key_a", "key_b"])
+        )
         return ray.data.from_arrow(
             pa.Table.from_pydict(
                 {
-                    "key_a": pa.array([k[0] for k, _ in items], pa.int64()),
-                    "key_b": pa.array([k[1] for k, _ in items], pa.int64()),
-                    "hamming": pa.array([h for _, h in items], pa.int64()),
+                    "key_a": pa.array(df["key_a"].to_numpy(), pa.int64()),
+                    "key_b": pa.array(df["key_b"].to_numpy(), pa.int64()),
+                    "hamming": pa.array(df["hamming"].to_numpy(), pa.int64()),
                 }
             )
         )
 
-    from ray.data.aggregate import Count
-
-    parts = []
-    for blk in range(4):
-        col = f"simhash_b{blk}"
-        hot = hashed.groupby(col).aggregate(Count(alias_name="c"))
-        hot_vals = pa.array(sorted(r[col] for r in hot.take_all() if r["c"] >= 2))
-        if len(hot_vals) == 0:
-            continue
-        filtered = hashed.map_batches(
-            lambda b, col=col, hv=hot_vals: b.filter(
-                pa.compute.is_in(b[col], value_set=hv)
-            ),
-            batch_format="pyarrow",
+    # distributed single pass: fan each row to its 4 packed block ids,
+    # salt the id into n_buckets groups (bounded group count — never
+    # row-scale), detect equal-id runs vectorized inside each bucket
+    def fan(batch: pa.Table) -> pa.Table:
+        ks = batch[key_col].to_numpy(zero_copy_only=False)
+        hs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bvs, kf, hf = _fan_block_ids(ks, hs)
+        bucket = (
+            (bvs.astype(np.uint64) * np.uint64(0x9E3779B1)) & np.uint64(0x7FFFFFFF)
+        ) % np.uint64(n_buckets)
+        return pa.Table.from_pydict(
+            {
+                "bv": pa.array(bvs, pa.int64()),
+                "bbucket": pa.array(bucket.astype(np.int64), pa.int64()),
+                "k": pa.array(kf, pa.int64()),
+                "h": pa.array(hf.astype(np.int64), pa.int64()),
+            }
         )
-        parts.append(filtered.groupby(col).map_groups(block_pairs, batch_format="pandas"))
-    if not parts:
-        import ray.data as rd
 
-        return rd.from_arrow(
-            pa.Table.from_pydict(
-                {
-                    "key_a": pa.array([], pa.int64()),
-                    "key_b": pa.array([], pa.int64()),
-                    "hamming": pa.array([], pa.int64()),
-                }
-            )
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        a, b, h = _block_run_pairs(
+            group["bv"].to_numpy(),
+            group["k"].to_numpy(),
+            group["h"].to_numpy().astype(np.uint64),
+            max_hamming,
         )
-    allp = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+        return pd.DataFrame({"key_a": a, "key_b": b, "hamming": h})
+
+    allp = (
+        hashed.map_batches(fan, batch_format="pyarrow")
+        .groupby("bbucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
 
     # bucketed pair dedup (min hamming per pair): Ray's two-column
     # sort groupby pays per distinct key — salt to 256 buckets and
