@@ -167,3 +167,75 @@ def test_density_pyramid_out_wmts(tmp_path):
     assert stored, "no tiles stored"
     resp = get_tile_fs(wmts, lay, 0, 0, 0)
     assert resp.status == 200 and resp.data and resp.data[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_resumable_fail_then_resume(tmp_path):
+    """Kill one input shard of the curation chain mid-run; the resume
+    must skip committed shards (unchanged lineage timestamps, raw text
+    never re-read) and produce exactly the streaming curate_corpus
+    result."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from tilecloud_chain_ray.pipelines.curate import curate_corpus
+    from tilecloud_chain_ray.pipelines.curate_resumable import curate_resumable
+    from tilecloud_chain_ray.stages.curation import benchmark_shingles
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "lang", "text"])
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    n = src.num_rows
+    step = (n + 3) // 4
+    for i in range(4):
+        pq.write_table(src.slice(i * step, step), str(shard_dir / f"docs_{i}.parquet"))
+
+    docs = ray.data.read_parquet(str(shard_dir))
+    bench = benchmark_shingles(docs, max_key=5)
+    kw = dict(quality_min=0.4, bench_shingles=bench, sample_rates=0.8,
+              shard_budget=1500, shard_bucket_size=64)
+
+    out = str(tmp_path / "curated")
+    r1, s1 = curate_resumable(str(shard_dir), out, fail_partitions={1}, **kw)
+    assert r1 is None
+    assert s1["partitions_error"] == 1 and s1["partitions_done"] == 3
+
+    from tilecloud_chain_ray.sinks import lineage as lin
+    partials_dir = f"{out}/filtered"
+    finish_before = {
+        pid: rec.finished_at
+        for pid, rec in lin.load_records(partials_dir).items()
+        if rec.status == "done"
+    }
+
+    r2, s2 = curate_resumable(str(shard_dir), out, **kw)
+    assert s2["partitions_skipped"] == 3
+    assert s2["partitions_done"] == 4 and s2["partitions_error"] == 0
+    finish_after = {
+        pid: rec.finished_at
+        for pid, rec in lin.load_records(partials_dir).items()
+        if rec.status == "done"
+    }
+    for pid, t in finish_before.items():
+        assert finish_after[pid] == t, f"shard {pid} was recomputed"
+
+    # result equals the streaming (non-checkpointed) chain exactly
+    direct = curate_corpus(docs, **kw)
+    want = direct.survivors.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = r2.survivors.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    cols = ["doc_id", "lang", "n_tokens", "quality", "text"]
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+    # shard packing ran over the committed corpus
+    assert r2.shards is not None
+    ws = direct.shards.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    gs = r2.shards.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        gs[["doc_id", "shard"]], ws[["doc_id", "shard"]], check_dtype=False
+    )
+    # a second resume with everything done only re-runs phase 2
+    r3, s3 = curate_resumable(str(shard_dir), out, **kw)
+    assert s3["partitions_skipped"] == 4
+    g3 = r3.survivors.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g3[cols], want[cols], check_dtype=False)

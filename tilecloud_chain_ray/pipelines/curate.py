@@ -8,11 +8,11 @@ chain a 100-TB pretraining pass runs:
     -> benchmark decontamination (broadcast eval shingle set)
     -> deterministic hash sampling (resumable, layout-independent)
     -> exact content dedup (salted-bucket shuffle, min-key survivor)
-    -> write partitioned Parquet (one directory per stratum; for
-       checkpointed re-runs over huge inputs, feed input shards through
-       the lineage pattern of pipelines/density_resumable.py — the
-       lang partitioning here is for downstream consumption, not a
-       resume unit)
+    -> write partitioned Parquet (one directory per stratum — a
+       consumption layout, not a resume unit; the checkpointed,
+       kill-and-resume variant of this chain is
+       pipelines/curate_resumable.curate_resumable, which shares these
+       kernels per input shard with per-shard lineage)
     -> optional sequence packing (stages/scan.pack_shards) over the
        survivors' narrow (group, order, weight) projection.
 
@@ -47,6 +47,57 @@ class CurateResult:
     out_dir: str | None
 
 
+def make_analyze_filter(
+    key_col: str, text_col: str, group_col: str, quality_min: float, rep_max: float | None
+):
+    """The fused analyze+filter batch kernel (tokens/quality[/repetition]
+    in one text pass).  Module-level so the streaming pipeline and the
+    checkpointed per-shard path (curate_resumable) share one kernel."""
+
+    def analyze_and_filter(batch: pa.Table) -> pa.Table:
+        batch = quality_score_batch(token_count_batch(batch, text_col), text_col)
+        keep = batch["quality"].to_numpy(zero_copy_only=False) >= quality_min
+        if rep_max is not None:
+            batch = repetition_fraction_batch(batch, text_col)
+            keep &= batch["rep_frac"].to_numpy(zero_copy_only=False) <= rep_max
+        batch = batch.select([key_col, group_col, "n_tokens", "quality", text_col])
+        return batch.filter(pa.array(keep))
+
+    return analyze_and_filter
+
+
+def make_md5_bucket(text_col: str, n_buckets: int):
+    """Batch kernel appending ``content_md5`` (hex) and ``_bucket``
+    (salted shuffle bucket from the digest's first 8 bytes) — one md5
+    pass emits both.  Shared by curate_corpus and curate_resumable."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        digests = [hashlib.md5(t.encode("utf-8")).digest() for t in texts]
+        hexes = [d.hex() for d in digests]
+        if digests:
+            raw = np.frombuffer(b"".join(digests), dtype=np.uint64)[::2]
+            bucket = (raw % np.uint64(n_buckets)).astype(np.int64)
+        else:
+            bucket = np.empty(0, dtype=np.int64)
+        out = batch.append_column("content_md5", pa.array(hexes, pa.string()))
+        return out.append_column("_bucket", pa.array(bucket, pa.int64()))
+
+    return add_bucket
+
+
+def make_dedup_bucket(key_col: str):
+    """Per-bucket exact-dedup group kernel: min-key survivor per
+    content md5 (deterministic no matter the block layout)."""
+
+    def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["content_md5", key_col])
+        g = g.drop_duplicates("content_md5", keep="first")
+        return g.drop(columns=["content_md5", "_bucket"])
+
+    return dedup_bucket
+
+
 def curate_corpus(
     ds: ray.data.Dataset,
     out_dir: str | None = None,
@@ -68,16 +119,10 @@ def curate_corpus(
     written as Parquet partitioned by ``group_col``.
     """
 
-    def analyze_and_filter(batch: pa.Table) -> pa.Table:
-        batch = quality_score_batch(token_count_batch(batch, text_col), text_col)
-        keep = batch["quality"].to_numpy(zero_copy_only=False) >= quality_min
-        if rep_max is not None:
-            batch = repetition_fraction_batch(batch, text_col)
-            keep &= batch["rep_frac"].to_numpy(zero_copy_only=False) <= rep_max
-        batch = batch.select([key_col, group_col, "n_tokens", "quality", text_col])
-        return batch.filter(pa.array(keep))
-
-    filtered = ds.map_batches(analyze_and_filter, batch_format="pyarrow")
+    filtered = ds.map_batches(
+        make_analyze_filter(key_col, text_col, group_col, quality_min, rep_max),
+        batch_format="pyarrow",
+    )
 
     if bench_shingles is not None:
         flagged = decontaminate(filtered, bench_shingles, key_col, text_col)
@@ -93,30 +138,10 @@ def curate_corpus(
 
     # exact content dedup: one salted-bucket shuffle of the surviving
     # rows; survivor per md5 = min key (deterministic, layout-free)
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        # one md5 pass (the unavoidable per-row hash) emits both the
-        # dedup key and — vectorized from the raw digest bytes — the
-        # shuffle bucket; no second per-row hash loop
-        texts = batch[text_col].to_pylist()
-        digests = [hashlib.md5(t.encode("utf-8")).digest() for t in texts]
-        hexes = [d.hex() for d in digests]
-        if digests:
-            raw = np.frombuffer(b"".join(digests), dtype=np.uint64)[::2]
-            bucket = (raw % np.uint64(n_buckets)).astype(np.int64)
-        else:
-            bucket = np.empty(0, dtype=np.int64)
-        out = batch.append_column("content_md5", pa.array(hexes, pa.string()))
-        return out.append_column("_bucket", pa.array(bucket, pa.int64()))
-
-    def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["content_md5", key_col])
-        g = g.drop_duplicates("content_md5", keep="first")
-        return g.drop(columns=["content_md5", "_bucket"])
-
     survivors = (
-        filtered.map_batches(add_bucket, batch_format="pyarrow")
+        filtered.map_batches(make_md5_bucket(text_col, n_buckets), batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(dedup_bucket, batch_format="pandas")
+        .map_groups(make_dedup_bucket(key_col), batch_format="pandas")
     )
 
     if out_dir is not None:

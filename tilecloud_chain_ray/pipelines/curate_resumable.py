@@ -1,0 +1,231 @@
+"""Checkpointed corpus curation: the kill-and-resume shape of the
+flagship pipeline (pipelines/curate.curate_corpus).
+
+The one long job a 100-TB user must be able to kill and resume is the
+curation chain; this module wires the lineage pattern of
+pipelines/density_resumable.py around it (reference analog: the
+PostgreSQL job resume of ``store/postgresql.py:443-477`` — completed
+work is never redone, failed work re-runs, commits are atomic renames):
+
+* **Phase 1 (expensive, per input shard, checkpointed)**: each input
+  parquet shard runs the per-row leg of the chain — fused
+  analyze/filter, benchmark decontamination, deterministic hash
+  sample, content md5 + dedup-bucket assignment — and writes the
+  surviving projection as an atomically-renamed parquet part plus a
+  lineage record (input rows, surviving rows, status).  A resumed run
+  skips shards whose lineage says ``done``: raw text is read, scored
+  and hashed at most once per shard across any number of attempts.
+  The kernels are the SAME module-level functions curate_corpus uses
+  (make_analyze_filter / hash_sample_mask / contaminated_mask /
+  make_md5_bucket), so streaming and checkpointed runs cannot diverge.
+
+* **Phase 2 (cheap, deterministic, recomputed on resume)**: read all
+  committed partials, run the salted-bucket exact-dedup shuffle
+  (min-key survivor — independent of which attempt committed which
+  shard), rewrite the group-partitioned corpus, optionally pack
+  shards.  Idempotent given phase-1 output; the corpus directory is
+  wiped before the rewrite so a crash inside phase 2 cannot leave
+  doubled partitions (output dirs are append-on-rewrite).
+
+The dedup shuffle itself is deliberately NOT checkpointed: phase-1
+output is a narrow projection (no raw html), and the shuffle is one
+bounded salted groupby — re-running it on resume costs minutes at
+100 TB, versus re-reading and re-scoring the raw corpus which costs
+hours and is what phase 1 amortizes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Sequence
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from tilecloud_chain_ray.pipelines.curate import (
+    CurateResult,
+    make_analyze_filter,
+    make_dedup_bucket,
+    make_md5_bucket,
+)
+from tilecloud_chain_ray.sinks import lineage as lin
+from tilecloud_chain_ray.stages.curation import contaminated_mask, hash_sample_mask
+
+
+def _phase1_shard(
+    shard_path: str,
+    partition_id: int,
+    partials_dir: str,
+    key_col: str,
+    text_col: str,
+    group_col: str,
+    quality_min: float,
+    rep_max: float | None,
+    bench_shingles: frozenset[str] | None,
+    sample_rates,
+    n_buckets: int,
+    job_id: str,
+    fail: bool,
+) -> dict:
+    started = lin.now()
+    try:
+        table = pq.read_table(shard_path, columns=[key_col, group_col, text_col])
+        n_in = table.num_rows
+        t = make_analyze_filter(key_col, text_col, group_col, quality_min, rep_max)(table)
+        if bench_shingles is not None:
+            mask = contaminated_mask(t[text_col].to_pylist(), bench_shingles)
+            t = t.filter(pa.array(~mask))
+        if sample_rates is not None:
+            ids = t[key_col].to_numpy(zero_copy_only=False)
+            strat = t[group_col].to_pylist() if isinstance(sample_rates, dict) else None
+            t = t.filter(pa.array(hash_sample_mask(ids, strat, sample_rates)))
+        t = make_md5_bucket(text_col, n_buckets)(t)
+        if fail:
+            raise RuntimeError(f"injected failure in shard {partition_id}")
+        os.makedirs(partials_dir, exist_ok=True)
+        part_path = os.path.join(partials_dir, f"filtered_{partition_id:06d}.parquet")
+        tmp = part_path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, part_path)  # commit the data BEFORE the lineage record
+        lin.write_record(
+            partials_dir,
+            lin.LineageRecord(
+                job_id=job_id,
+                partition_id=partition_id,
+                zooms=[],
+                input_rows=n_in,
+                tiles_generated=0,
+                tiles_dropped=0,
+                tiles_stored=0,
+                metatiles_generated=0,
+                metatiles_dropped=0,
+                status="done",
+                started_at=started,
+                finished_at=lin.now(),
+                error=None,
+                rows_out=t.num_rows,
+            ),
+        )
+        return {"partition_id": partition_id, "status": "done"}
+    except Exception as exc:
+        lin.write_record(
+            partials_dir,
+            lin.LineageRecord(
+                job_id=job_id,
+                partition_id=partition_id,
+                zooms=[],
+                input_rows=0,
+                tiles_generated=0,
+                tiles_dropped=0,
+                tiles_stored=0,
+                metatiles_generated=0,
+                metatiles_dropped=0,
+                status="error",
+                started_at=started,
+                finished_at=lin.now(),
+                error=str(exc),
+            ),
+        )
+        return {"partition_id": partition_id, "status": "error", "error": str(exc)}
+
+
+def curate_resumable(
+    docs_dir: str | Sequence[str],
+    out_dir: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    quality_min: float = 0.5,
+    rep_max: float | None = None,
+    bench_shingles: frozenset[str] | None = None,
+    sample_rates: dict[str, float] | float | None = None,
+    shard_budget: int | None = None,
+    n_buckets: int = 256,
+    shard_bucket_size: int = 1 << 20,
+    job_id: str = "curate-1",
+    fail_partitions: set[int] | None = None,
+) -> tuple[CurateResult | None, dict]:
+    """Run (or resume) the checkpointed curation job.
+
+    ``docs_dir``: a directory of parquet shards (each shard = one
+    resume partition) or an explicit list of shard paths.  Returns
+    ``(result, summary)``; ``result`` is None while any partition is in
+    error (fix / re-run to resume — done shards are skipped)."""
+    if isinstance(docs_dir, str):
+        shards = sorted(
+            os.path.join(docs_dir, f)
+            for f in os.listdir(docs_dir)
+            if f.endswith(".parquet")
+        )
+    else:
+        shards = list(docs_dir)
+    partials_dir = os.path.join(out_dir, "filtered")
+    done = lin.done_partitions(partials_dir)
+    todo = [(pid, s) for pid, s in enumerate(shards) if pid not in done]
+    fail = fail_partitions or set()
+
+    if todo:
+        task = ray.remote(max_retries=0)(_phase1_shard)
+        bench_ref = ray.put(bench_shingles)  # stored once, shared by all tasks
+        ray.get(
+            [
+                task.remote(
+                    shard,
+                    pid,
+                    partials_dir,
+                    key_col,
+                    text_col,
+                    group_col,
+                    quality_min,
+                    rep_max,
+                    bench_ref,
+                    sample_rates,
+                    n_buckets,
+                    job_id,
+                    pid in fail,
+                )
+                for pid, shard in todo
+            ]
+        )
+
+    summary = lin.summarize_lineage(partials_dir)
+    recs = lin.load_records(partials_dir)
+    summary["partitions_total"] = len(shards)
+    summary["partitions_skipped"] = len(done)
+    summary["rows_filtered"] = sum(
+        r.rows_out or 0 for r in recs.values() if r.status == "done"
+    )
+    if summary["partitions_error"]:
+        return None, summary
+
+    # phase 2: dedup + partitioned corpus from the committed partials
+    part_files = [
+        os.path.join(partials_dir, f)
+        for f in sorted(os.listdir(partials_dir))
+        if f.startswith("filtered_") and f.endswith(".parquet")
+    ]
+    partials = ray.data.read_parquet(part_files)
+    survivors = partials.groupby("_bucket").map_groups(
+        make_dedup_bucket(key_col), batch_format="pandas"
+    )
+    corpus_dir = os.path.join(out_dir, "corpus")
+    shutil.rmtree(corpus_dir, ignore_errors=True)  # append-on-rewrite guard
+    survivors.write_parquet(corpus_dir, partition_cols=[group_col])
+    survivors = ray.data.read_parquet(corpus_dir)
+
+    shards_ds = None
+    if shard_budget is not None:
+        from tilecloud_chain_ray.stages.scan import pack_shards
+
+        shards_ds = pack_shards(
+            survivors,
+            group_col,
+            key_col,
+            "n_tokens",
+            budget=shard_budget,
+            bucket_size=shard_bucket_size,
+            pin_input=False,  # survivors are a parquet read
+        )
+    return CurateResult(survivors=survivors, shards=shards_ds, out_dir=corpus_dir), summary

@@ -37,6 +37,7 @@ class LineageRecord:
     finished_at: float
     error: str | None = None
     cell_range: list[int] | None = None  # [min_cell, max_cell] of the input shard
+    rows_out: int | None = None  # output rows of non-tile jobs (e.g. curation)
 
 
 def lineage_dir(out_dir: str) -> str:

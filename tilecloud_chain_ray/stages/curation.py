@@ -90,6 +90,23 @@ def vocab_topk(
 # ---------------------------------------------------------------------------
 
 
+def hash_sample_mask(
+    ids: np.ndarray, strat: list | None, rates: dict[str, float] | float
+) -> np.ndarray:
+    """The pure keep-mask of ``hash_sample`` (shared with the
+    checkpointed per-shard curation path so the two cannot diverge):
+    keep iff ``(key * 2654435761) mod 2^32 < rate * 2^32``."""
+    h = (ids.astype(np.int64) * UX_MULT) % MICRO
+    if isinstance(rates, dict):
+        thresholds = {s: int(r * MICRO) for s, r in rates.items()}
+        thr = np.fromiter(
+            (thresholds.get(s, 0) for s in strat), dtype=np.int64, count=len(strat)
+        )
+    else:
+        thr = int(rates * MICRO)
+    return h < thr
+
+
 def hash_sample(
     ds: ray.data.Dataset,
     rates: dict[str, float] | float,
@@ -105,23 +122,11 @@ def hash_sample(
     100-TB sampling pass needs (same keep-set regardless of block
     layout or retries).  SQL-reproducible in integer arithmetic.
     """
-    thresholds = (
-        {s: int(r * MICRO) for s, r in rates.items()}
-        if isinstance(rates, dict)
-        else int(rates * MICRO)
-    )
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * UX_MULT) % MICRO
-        if isinstance(thresholds, dict):
-            strat = batch[strat_col].to_pylist()
-            thr = np.fromiter(
-                (thresholds.get(s, 0) for s in strat), dtype=np.int64, count=len(strat)
-            )
-        else:
-            thr = thresholds
-        mask = h < thr
+        ids = batch[key_col].to_numpy(zero_copy_only=False)
+        strat = batch[strat_col].to_pylist() if isinstance(rates, dict) else None
+        mask = hash_sample_mask(ids, strat, rates)
         out = batch if keep_cols is None else batch.select(keep_cols)
         return out.filter(pa.array(mask))
 
@@ -278,19 +283,24 @@ def decontaminate(
 
     def flag(batch: pa.Table) -> pa.Table:
         bench = process_cached(cache_key, lambda: ray.get(bench_ref))
-        texts = batch[text_col].to_pylist()
-        out = np.zeros(len(texts), dtype=bool)
-        for i, t in enumerate(texts):
-            ws = _oracle_words(t)
-            if len(ws) < n:
-                out[i] = " ".join(ws) in bench
-                continue
-            out[i] = any(
-                " ".join(ws[j : j + n]) in bench for j in range(len(ws) - n + 1)
-            )
+        out = contaminated_mask(batch[text_col].to_pylist(), bench, n)
         return batch.append_column(flag_col, pa.array(out))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def contaminated_mask(texts: list[str], bench: frozenset[str], n: int = 3) -> np.ndarray:
+    """The pure per-doc contamination test of ``decontaminate`` (shared
+    with the checkpointed per-shard curation path).  Short-circuits on
+    first hit per document."""
+    out = np.zeros(len(texts), dtype=bool)
+    for i, t in enumerate(texts):
+        ws = _oracle_words(t)
+        if len(ws) < n:
+            out[i] = " ".join(ws) in bench
+            continue
+        out[i] = any(" ".join(ws[j : j + n]) in bench for j in range(len(ws) - n + 1))
+    return out
 
 
 def benchmark_shingles(
