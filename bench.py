@@ -78,7 +78,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "tile_counts": lambda: q.q_tile_counts_per_zoom(sf_dir),
         "pyramid_z14": lambda: q.q_tile_counts_z14(sf_dir),
         "cell_rollup": lambda: q.q_cell_counts_r8(sf_dir),
-        "density_pyramid": lambda: q.q_density_tiles(sf_dir),
+        "density_pyramid": lambda: q.q_density_render(sf_dir),
         "generate_point_hash": lambda: q.q_generate_point_hash(sf_dir),
         "dedup_exact": lambda: q.q_dedup_exact(sf_dir),
         "dedup_minhash": lambda: q.q_dedup_minhash(sf_dir),

@@ -198,15 +198,25 @@ def q_pip_layer_counts(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_pip_join_rows(sf_dir: str) -> ray.data.Dataset:
-    joined = pip_join_tasks(_geocoded_docs(sf_dir), PIP_LAYERS, mode="left", cache_key="pip3")
-    return joined.select_columns(["doc_id", "layer"])
+    """Both PIP join modes in one entry (the driver caps capture at 50
+    queries, so the left-join rows and the inner-join pairs share one
+    result tagged by ``mode`` — both code paths still run)."""
+    geocoded = _geocoded_docs(sf_dir)
+    left = pip_join_tasks(geocoded, PIP_LAYERS, mode="left", cache_key="pip3")
+    inner = pip_join_tasks(geocoded, PIP_LAYERS, mode="inner", cache_key="pip3i")
 
+    def tag(mode: str):
+        def fn(b: pa.Table) -> pa.Table:
+            out = b.select(["doc_id", "layer"])
+            return out.append_column(
+                "mode", pa.array(np.full(b.num_rows, mode, dtype=object), pa.string())
+            )
 
-def q_pip_inner_pairs(sf_dir: str) -> ray.data.Dataset:
-    joined = pip_join_tasks(
-        _geocoded_docs(sf_dir), PIP_LAYERS, mode="inner", cache_key="pip3i"
+        return fn
+
+    return left.map_batches(tag("left"), batch_format="pyarrow").union(
+        inner.map_batches(tag("inner"), batch_format="pyarrow")
     )
-    return joined.select_columns(["doc_id", "layer"])
 
 
 # ---------------------------------------------------------------------------
@@ -256,22 +266,22 @@ def q_lang_pred_counts(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_token_stats(sf_dir: str) -> ray.data.Dataset:
-    docs = _read(sf_dir, "documents", ["lang", "text"])
-    counted = docs.map_batches(
-        lambda b: token_count_batch(b).select(["lang", "n_tokens"]), batch_format="pyarrow"
-    )
-    return counted.groupby("lang").aggregate(Sum("n_tokens", alias_name="sum_tokens"))
-
-
-def q_bpe_token_stats(sf_dir: str) -> ray.data.Dataset:
+    """Whitespace AND BPE-ish token counts in one pass (merged entry:
+    the driver caps capture at 50 queries; one text read feeds both
+    tokenizers, which is also the cheaper shape at scale)."""
     from tilecloud_chain_ray.stages.text import bpe_token_count_batch
 
     docs = _read(sf_dir, "documents", ["lang", "text"])
     counted = docs.map_batches(
-        lambda b: bpe_token_count_batch(b).select(["lang", "n_bpe_tokens"]),
+        lambda b: bpe_token_count_batch(token_count_batch(b)).select(
+            ["lang", "n_tokens", "n_bpe_tokens"]
+        ),
         batch_format="pyarrow",
     )
-    return counted.groupby("lang").aggregate(Sum("n_bpe_tokens", alias_name="sum_bpe_tokens"))
+    return counted.groupby("lang").aggregate(
+        Sum("n_tokens", alias_name="sum_tokens"),
+        Sum("n_bpe_tokens", alias_name="sum_bpe_tokens"),
+    )
 
 
 def q_quality_hist(sf_dir: str) -> ray.data.Dataset:
@@ -607,8 +617,11 @@ def q_embed_near_dup(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(["key_a", "key_b"])
 
 
-def q_knn_lsh(sf_dir: str) -> ray.data.Dataset:
-    """Approximate (LSH multi-probe) top-k — the ANN scale path."""
+def q_knn_ann(sf_dir: str) -> ray.data.Dataset:
+    """Both approximate ANN paths in one entry tagged by ``method``
+    (the driver caps capture at 50 queries): LSH multi-probe and the
+    FAISS-style IVF coarse quantizer — knn_ivf_exact separately anchors
+    the IVF path to the brute-force oracle."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qrows = sorted(
         (
@@ -620,43 +633,81 @@ def q_knn_lsh(sf_dir: str) -> ray.data.Dataset:
     )
     qids = np.array([r[0] for r in qrows])
     qvecs = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    out = knn_mod.knn_lsh(emb, qvecs, k=5, key_col="vec_id", query_ids=qids)
-    return out.select_columns(["query_id", "vec_id", "rank"])
-
-
-def q_knn_ivf(sf_dir: str) -> ray.data.Dataset:
-    """Approximate (IVF coarse-quantizer) top-k — the FAISS-style path."""
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = sorted(
-        (
-            (r["vec_id"], r["embedding"])
-            for r in emb.map_batches(
-                lambda b: b.filter(pc.less(b["vec_id"], 5)), batch_format="pyarrow"
-            ).take_all()
-        )
-    )
-    qids = np.array([r[0] for r in qrows])
-    qvecs = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    out = knn_mod.knn_ivf(
+    lsh = knn_mod.knn_lsh(emb, qvecs, k=5, key_col="vec_id", query_ids=qids)
+    ivf = knn_mod.knn_ivf(
         emb, qvecs, k=5, key_col="vec_id", query_ids=qids, n_lists=16, nprobe=4
     )
-    return out.select_columns(["query_id", "vec_id", "rank"])
+
+    def tag(method: str):
+        def fn(b: pa.Table) -> pa.Table:
+            out = b.select(["query_id", "vec_id", "rank"])
+            return out.append_column(
+                "method", pa.array(np.full(b.num_rows, method, dtype=object), pa.string())
+            )
+
+        return fn
+
+    return lsh.map_batches(tag("lsh"), batch_format="pyarrow").union(
+        ivf.map_batches(tag("ivf"), batch_format="pyarrow")
+    )
 
 
 def q_knn_cell_spatial(sf_dir: str) -> ray.data.Dataset:
-    # coarse cells (res 5: 32x32 over the bbox) so ring-2 disks hold
-    # enough candidates for k=5 at test scale
+    """Spatial kNN via cell-ring candidates, SQL-exact: coarse cells
+    (res 5: 32x32 over the bbox), integer micro-coordinate distances
+    (dx^2 + dy^2 in int64 — candidates sit within ring 2, so squares
+    fit), query cells = the 3 first distinct (cx, cy) among doc_id <
+    10.  Output (qcx, qcy, doc_id, rnk) avoids Morton codes so the
+    DuckDB mirror is plain integer division."""
+    res = 5
+    shift = 32 - res
     geocoded = _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        make_geocoder(BBOX, "doc_id", cell_res=5), batch_format="pyarrow"
+        make_geocoder(BBOX, "doc_id", cell_res=res), batch_format="pyarrow"
     )
-    first_cells = sorted({r["cell"] for r in geocoded.take(50)})[:3]
-    return knn_mod.knn_cell(
-        geocoded, [int(c) for c in first_cells], BBOX, k=5, ring=2, cell_col="cell"
-    ).select_columns(["query_cell", "doc_id", "rank"])
+    qdocs = geocoded.map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], 10)), batch_format="pyarrow"
+    ).take_all()
+    from tilecloud_chain_ray.functions.cells import cell_decode, cell_id
+
+    qcells_np = np.array([r["cell"] for r in qdocs], dtype=np.uint64)
+    _, qcx, qcy = cell_decode(qcells_np)
+    qxy = sorted(set(zip(qcx.tolist(), qcy.tolist())))[:3]
+    query_cells = [
+        int(cell_id(np.array([x], np.uint64), np.array([y], np.uint64), res)[0])
+        for x, y in qxy
+    ]
+    out = knn_mod.knn_cell(
+        geocoded,
+        query_cells,
+        BBOX,
+        k=5,
+        ring=2,
+        cell_col="cell",
+        x_col="ux",
+        y_col="uy",
+        micro_res=res,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        _, cx, cy = cell_decode(b["query_cell"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        t = pa.Table.from_pydict(
+            {
+                "qcx": pa.array(cx, pa.int64()),
+                "qcy": pa.array(cy, pa.int64()),
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "rnk": b["rank"].cast(pa.int64()),
+            }
+        )
+        return t
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
-def q_density_tiles(sf_dir: str) -> ray.data.Dataset:
-    """Density pyramid over documents (webmerc z0-4); tile table rows."""
+def q_density_render(sf_dir: str) -> ray.data.Dataset:
+    """Density pyramid over documents (webmerc z0-4); rendered tile
+    table rows — the flagship entry() pipeline (PNG bytes are not
+    SQL-expressible; the point-count leg is oracled by
+    q_density_tiles)."""
     from tilecloud_chain_ray.config import Layer
     from tilecloud_chain_ray.grid import WEBMERC
     from tilecloud_chain_ray.pipelines.density import density_pyramid
@@ -669,8 +720,40 @@ def q_density_tiles(sf_dir: str) -> ray.data.Dataset:
     return result.tiles.select_columns(["z", "x", "y", "status", "size"])
 
 
+def q_density_tiles(sf_dir: str) -> ray.data.Dataset:
+    """Per-tile point counts of the density pyramid (z0-4), SQL-exact:
+    the assembly aggregate behind q_density_render, via the same
+    micro-coordinate geocoder — tile = micro >> (32 - z - 8) >> 8
+    (pixel then tile), n_points = docs per tile."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ux, uy = micro_from_ids(ids)
+        parts = []
+        for z in range(5):
+            shift = np.uint64(32 - z - 8)
+            tx = ((ux >> shift) >> np.uint64(8)).astype(np.int64)
+            ty = ((uy >> shift) >> np.uint64(8)).astype(np.int64)
+            df = pd.DataFrame({"z": np.full(len(tx), z, dtype=np.int64), "x": tx, "y": ty})
+            parts.append(
+                pa.Table.from_pandas(
+                    df.groupby(["z", "x", "y"]).size().reset_index(name="n"),
+                    preserve_index=False,
+                )
+            )
+        return pa.concat_tables(parts)
+
+    partials = docs.map_batches(assign, batch_format="pyarrow")
+    return partials.groupby(["z", "x", "y"]).aggregate(Sum("n", alias_name="n_points"))
+
+
 def q_generate_point_hash(sf_dir: str) -> pa.Table:
-    """The reference-parity flagship golden as a one-row table."""
+    """The reference-parity flagship, now SQL-checkable: the stored
+    tile coordinate set (reference tests/test_generate.py point_hash
+    golden — 8 tiles survive hash-drop) plus the summary counters as
+    extra rows keyed by name.  The oracle is the golden VALUES table,
+    so the driver hash-verifies the full generate chain output."""
     from tilecloud_chain_ray.config import Layer
     from tilecloud_chain_ray.geom import MultiPoint, Point
     from tilecloud_chain_ray.pipelines.generate import generate_tiles
@@ -686,13 +769,32 @@ def q_generate_point_hash(sf_dir: str) -> pa.Table:
     )
     result = generate_tiles(layer, concurrency=(1, 2))
     s = result.summary
+    stored = sorted(
+        (int(r["z"]), int(r["x"]), int(r["y"]))
+        for b in result.tiles.iter_batches(batch_format="pyarrow")
+        for r in b.select(["z", "x", "y", "status"]).to_pylist()
+        if r["status"] == "stored"
+    )
+    kinds = [f"stored:{z}" for z, _, _ in stored] + [
+        "metatiles_generated",
+        "metatiles_dropped",
+        "tiles_generated",
+        "tiles_dropped",
+        "tiles_stored",
+    ]
+    xs = [x for _, x, _ in stored] + [
+        s["metatiles_generated"],
+        s["metatiles_dropped"],
+        s["tiles_generated"],
+        s["tiles_dropped"],
+        s["tiles_stored"],
+    ]
+    ys = [y for _, _, y in stored] + [0, 0, 0, 0, 0]
     return pa.Table.from_pydict(
         {
-            "metatiles_generated": pa.array([s["metatiles_generated"]], pa.int64()),
-            "metatiles_dropped": pa.array([s["metatiles_dropped"]], pa.int64()),
-            "tiles_generated": pa.array([s["tiles_generated"]], pa.int64()),
-            "tiles_dropped": pa.array([s["tiles_dropped"]], pa.int64()),
-            "tiles_stored": pa.array([s["tiles_stored"]], pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "x": pa.array(xs, pa.int64()),
+            "y": pa.array(ys, pa.int64()),
         }
     )
 
@@ -755,15 +857,25 @@ def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_approx_distinct(sf_dir: str) -> pa.Table:
-    """HyperLogLog approximate distinct doc_ids + texts (mergeable
-    sketch rows; rows-only — the estimate is approximate by design)."""
-    from tilecloud_chain_ray.stages.sketch import approx_distinct
+    """HyperLogLog approximate distinct, global AND grouped in one
+    entry (the driver caps capture at 50 queries): scope 'doc_id' =
+    global distinct docs; scope 'users:<event_type>' = grouped
+    mergeable per-type user sketches.  Rows-only — approximate by
+    design; accuracy pinned vs exact counts in tests/test_extras."""
+    from tilecloud_chain_ray.stages.sketch import approx_distinct, grouped_approx_distinct
 
     docs = _read(sf_dir, "documents", ["doc_id"])
     est = approx_distinct(docs, "doc_id", p=12)
+    events = _read(sf_dir, "events", ["event_type", "user_id"])
+    grouped = grouped_approx_distinct(events, "event_type", "user_id").take_all()
+    scopes = ["doc_id"] + [f"users:{r['event_type']}" for r in grouped]
+    vals = [int(round(est))] + [int(r["approx_distinct"]) for r in grouped]
+    order = np.argsort(np.array(scopes, dtype=object), kind="stable")
     return pa.Table.from_pydict(
-        {"column": pa.array(["doc_id"], pa.string()),
-         "approx_distinct": pa.array([int(round(est))], pa.int64())}
+        {
+            "scope": pa.array([scopes[i] for i in order], pa.string()),
+            "approx_distinct": pa.array([vals[i] for i in order], pa.int64()),
+        }
     )
 
 

@@ -291,6 +291,7 @@ def knn_cell(
     cell_col: str = "cell",
     x_col: str = "x",
     y_col: str = "y",
+    micro_res: int | None = None,
 ) -> ray.data.Dataset:
     """Spatial kNN restricted to grid_disk(ring) candidate cells.
 
@@ -300,6 +301,12 @@ def knn_cell(
     broadcast ring set is a semi-join filter); the shuffle key is the
     query cell.  Ring too small to hold k points -> fewer rows (the
     caller widens the ring), the standard IVF-probe trade-off.
+
+    ``micro_res``: when set, ``x_col``/``y_col`` are INTEGER micro
+    coordinates and ranking uses the exact squared integer distance to
+    the integer cell center ``cx * 2^(32-res) + 2^(31-res)`` —
+    bit-reproducible in a SQL oracle (candidates sit within the ring,
+    so the squares fit int64).
     """
     ring_map: dict[int, list[int]] = {}
     for qc in query_cells:
@@ -310,6 +317,13 @@ def knn_cell(
     centers: dict[int, tuple[float, float]] = {}
     for qc in query_cells:
         res, cx, cy = cell_decode(np.array([qc], dtype=np.uint64))
+        if micro_res is not None:
+            half = 1 << (31 - micro_res)
+            centers[int(qc)] = (
+                int(cx[0]) * (half * 2) + half,
+                int(cy[0]) * (half * 2) + half,
+            )
+            continue
         size = 1 << int(res[0])
         fx = (int(cx[0]) + 0.5) / size
         fy = (int(cy[0]) + 0.5) / size
@@ -334,7 +348,12 @@ def knn_cell(
 
     def topk(group: pd.DataFrame) -> pd.DataFrame:
         cx, cy = ray.get(centers_ref)[int(group["query_cell"].iloc[0])]
-        d = np.hypot(group[x_col].to_numpy() - cx, group[y_col].to_numpy() - cy)
+        if micro_res is not None:
+            dx = group[x_col].to_numpy().astype(np.int64) - np.int64(cx)
+            dy = group[y_col].to_numpy().astype(np.int64) - np.int64(cy)
+            d = dx * dx + dy * dy  # exact int64 (|d| < 2^59 inside the ring)
+        else:
+            d = np.hypot(group[x_col].to_numpy() - cx, group[y_col].to_numpy() - cy)
         g = group.assign(dist=d).sort_values(["dist", key_col]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
