@@ -121,7 +121,66 @@ def test_media_resizer_png_bilinear():
 
 
 def test_unavailable_codecs_raise():
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        MediaDecoder(codec="jpeg")
+    with pytest.raises(NotImplementedError, match="mp3"):
+        MediaDecoder(codec="mp3")
     with pytest.raises(NotImplementedError, match="mp4"):
         MediaDecoder(codec="mp4")
+
+
+# --- baseline JPEG (functions/jpeg.py, ITU-T.81 from scratch) -----------
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [yy * 255 // max(h - 1, 1), xx * 255 // max(w - 1, 1),
+         (yy + xx) * 255 // max(h + w - 2, 1)], axis=-1
+    ).astype(np.uint8)
+
+
+def test_jpeg_solid_color_exact():
+    from tilecloud_chain_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    for sub in ("444", "420"):
+        img = np.full((20, 28, 3), 77, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, 90, subsampling=sub))
+        assert dec.shape == (20, 28, 3)
+        assert np.abs(dec.astype(int) - 77).max() == 0, sub
+
+
+def test_jpeg_gradient_roundtrip_within_idct_tolerance():
+    from tilecloud_chain_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient(33, 41)  # non-multiple-of-8/16 dims exercise padding
+    for sub, tol in (("444", 4), ("420", 12)):
+        dec = decode_jpeg(encode_jpeg(img, 90, subsampling=sub))
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert dec.shape == img.shape
+        assert err.mean() < tol / 2 and err.max() <= tol, (sub, err.mean(), err.max())
+
+
+def test_jpeg_noise_and_grayscale():
+    from tilecloud_chain_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, 95))
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 8  # q95 noise bound
+    gray = _gradient(32, 40)[..., 0]
+    dg = decode_jpeg(encode_jpeg(gray, 90))
+    assert dg.shape == (32, 40)
+    assert np.abs(dg.astype(int) - gray.astype(int)).mean() < 1.0
+
+
+def test_media_decoder_and_resizer_jpeg_real():
+    table = synthesize_media(8, codec="jpeg")
+    out = MediaDecoder(codec="jpeg")(table)
+    assert out["decoded_h"].to_numpy(zero_copy_only=False).tolist() == table[
+        "meta_height"
+    ].to_numpy(zero_copy_only=False).tolist()
+    resized = MediaResizer(target=12, codec="jpeg", method="bilinear")(table)
+    from tilecloud_chain_ray.functions.jpeg import decode_jpeg
+
+    for payload in resized["payload"].to_pylist():
+        img = decode_jpeg(payload)
+        assert img.shape == (12, 12, 3)

@@ -880,35 +880,44 @@ def q_approx_distinct(sf_dir: str) -> pa.Table:
 
 
 def q_media_pipeline(sf_dir: str) -> pa.Table:
-    """Multimodal leg: REAL PNG payloads -> bilinear resize -> decode ->
-    feature aggregate (deterministic synthesis; rows-only)."""
+    """Multimodal leg: REAL PNG and baseline-JPEG payloads (both
+    codecs from scratch) -> bilinear resize -> decode -> feature
+    aggregate, one row per codec (deterministic synthesis;
+    rows-only)."""
     from tilecloud_chain_ray.stages.multimodal import (
         MediaDecoder,
         MediaResizer,
         synthesize_media,
     )
 
-    media = ray.data.from_arrow(synthesize_media(64, codec="png"))
-    resized = media.map_batches(
-        MediaResizer, fn_constructor_kwargs={"target": 16, "codec": "png"},
-        batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
-    )
-    decoded = resized.map_batches(
-        MediaDecoder, fn_constructor_kwargs={"codec": "png"},
-        batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
-    )
-    tbl = pa.concat_tables(decoded.iter_batches(batch_size=None, batch_format="pyarrow"))
+    rows: dict[str, list] = {"codec": [], "n_media": [], "all_resized_16": [],
+                             "mean_intensity_rounded": []}
+    for codec in ("png", "jpeg"):
+        media = ray.data.from_arrow(synthesize_media(64, codec=codec))
+        resized = media.map_batches(
+            MediaResizer, fn_constructor_kwargs={"target": 16, "codec": codec},
+            batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
+        )
+        decoded = resized.map_batches(
+            MediaDecoder, fn_constructor_kwargs={"codec": codec},
+            batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
+        )
+        tbl = pa.concat_tables(decoded.iter_batches(batch_size=None, batch_format="pyarrow"))
+        rows["codec"].append(codec)
+        rows["n_media"].append(tbl.num_rows)
+        rows["all_resized_16"].append(
+            bool((np.array(tbl["decoded_h"]) == 16).all()
+                 and (np.array(tbl["decoded_w"]) == 16).all())
+        )
+        rows["mean_intensity_rounded"].append(
+            round(float(np.array(tbl["mean_intensity"]).mean()), 2)
+        )
     return pa.Table.from_pydict(
         {
-            "n_media": pa.array([tbl.num_rows], pa.int64()),
-            "all_resized_16": pa.array(
-                [bool((np.array(tbl["decoded_h"]) == 16).all()
-                      and (np.array(tbl["decoded_w"]) == 16).all())],
-                pa.bool_(),
-            ),
-            "mean_intensity_rounded": pa.array(
-                [round(float(np.array(tbl["mean_intensity"]).mean()), 2)], pa.float64()
-            ),
+            "codec": pa.array(rows["codec"], pa.string()),
+            "n_media": pa.array(rows["n_media"], pa.int64()),
+            "all_resized_16": pa.array(rows["all_resized_16"], pa.bool_()),
+            "mean_intensity_rounded": pa.array(rows["mean_intensity_rounded"], pa.float64()),
         }
     )
 

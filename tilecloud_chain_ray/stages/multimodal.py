@@ -7,15 +7,18 @@ libraries:
 * ``png`` — the engine's own full 8-bit PNG codec
   (``functions/png.py``: gray / gray+alpha / RGB / RGBA, all five
   scanline filters).
+* ``jpeg`` — the engine's own baseline JFIF codec
+  (``functions/jpeg.py``: full SOF0 decoder incl. 4:2:0/4:2:2 and
+  restart markers; 4:4:4 Annex-K encoder used by the synthesizer).
 * ``wav`` — 16-bit PCM via stdlib ``wave`` (``functions/wav.py``).
 * ``raw`` — the deterministic synthetic header+samples format below
   (useful for plumbing tests with exact expectations).
 
 Codecs that genuinely require native libraries absent from this
-container (``jpeg``, ``mp3``, ``mp4``/video) raise
-``NotImplementedError`` naming the intended library call — the
-actor-pool plumbing around them (schemas, bounded batch sizes for wide
-binary rows, row expansion) is real and tested either way.
+container (``mp3``, ``mp4``/video) raise ``NotImplementedError``
+naming the intended library call — the actor-pool plumbing around them
+(schemas, bounded batch sizes for wide binary rows, row expansion) is
+real and tested either way.
 
 Synthetic ``raw`` payload format: the first 8 bytes are
 (height uint16, width uint16, channels uint16, reserved uint16)
@@ -31,6 +34,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from tilecloud_chain_ray.functions.jpeg import decode_jpeg, encode_jpeg
 from tilecloud_chain_ray.functions.png import decode_png, encode_png
 from tilecloud_chain_ray.functions.wav import decode_wav, encode_wav
 
@@ -46,7 +50,6 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 _STUBBED = {
-    "jpeg": "PIL.Image.open / libjpeg-turbo",
     "mp3": "soundfile.read / libsndfile",
     "mp4": "PyAV / ffmpeg frame demux",
 }
@@ -77,6 +80,15 @@ def synthesize_media(
         if codec == "png":
             img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
             payloads.append(encode_png(img))
+        elif codec == "jpeg":
+            # smooth gradient + low noise: representative of photos and
+            # keeps the lossy roundtrip error interpretable in tests
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = (yy * 255 // max(h - 1, 1))[..., None] * np.array([1, 0, 0.5]) + (
+                xx * 255 // max(w - 1, 1)
+            )[..., None] * np.array([0, 1, 0.5])
+            img = np.clip(base / 2 + rng.integers(0, 16, (h, w, 3)), 0, 255).astype(np.uint8)
+            payloads.append(encode_jpeg(img, quality=90))
         elif codec == "raw":
             c = 3
             body = rng.integers(0, 256, h * w * c, dtype=np.uint8).tobytes()
@@ -113,6 +125,8 @@ def _decode_image(payload: bytes, codec: str) -> np.ndarray:
         return _decode_raw(payload)
     if codec == "png":
         return decode_png(payload)
+    if codec == "jpeg":
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"codec {codec!r}: needs {_STUBBED.get(codec, 'a native codec library')} "
         "absent from this container"
@@ -127,7 +141,7 @@ class MediaDecoder:
     """
 
     def __init__(self, codec: str = "raw") -> None:
-        if codec not in ("raw", "png", "wav"):
+        if codec not in ("raw", "png", "jpeg", "wav"):
             raise NotImplementedError(
                 f"codec {codec!r}: needs "
                 f"{_STUBBED.get(codec, 'a native codec library')} "
@@ -194,7 +208,7 @@ class MediaResizer:
     in the same codec so downstream stages see the same schema."""
 
     def __init__(self, target: int = 16, codec: str = "raw", method: str = "nearest") -> None:
-        if codec not in ("raw", "png"):
+        if codec not in ("raw", "png", "jpeg"):
             raise NotImplementedError(f"resize codec {codec!r} unsupported")
         if method not in ("nearest", "bilinear"):
             raise ValueError(method)
@@ -225,6 +239,12 @@ class MediaResizer:
                     rgba[:, :, 3] = 255
                     resized = rgba
                 out_payloads.append(encode_png(resized))
+            elif self.codec == "jpeg":
+                if resized.ndim == 3 and resized.shape[2] != 3:
+                    resized = resized[:, :, :3] if resized.shape[2] > 3 else np.repeat(
+                        resized[:, :, :1], 3, axis=2
+                    )
+                out_payloads.append(encode_jpeg(resized, quality=90))
             else:
                 c = resized.shape[2]
                 out_payloads.append(
