@@ -220,7 +220,7 @@ def test_multimodal_stages():
     assert frames["frame_ts_ms"].to_numpy().max() <= media["meta_duration_ms"].to_numpy().max()
 
     with pytest.raises(NotImplementedError):
-        MediaDecoder("jpeg")
+        MediaDecoder("mp3")
 
 
 def test_media_decoder_rejects_unknown_codec_message():
