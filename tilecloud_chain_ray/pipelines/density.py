@@ -163,61 +163,91 @@ def assemble_and_render_tiles(
         rows_b, rows_keys, rows_ns = [], [], []
         for s, e in zip(starts, ends):
             rows_b.append(int(bucket[s]))
-            rows_keys.append(full[s:e].astype(np.int64))
-            rows_ns.append(n[s:e])
+            # byte payloads, not list<int64>: a bundle's keys stay one
+            # numpy buffer end-to-end (list cells would round-trip
+            # every element through Python ints in the reduce)
+            rows_keys.append(full[s:e].tobytes())
+            rows_ns.append(n[s:e].tobytes())
         return pa.Table.from_pydict(
             {
                 "bucket": pa.array(rows_b, pa.int64()),
-                "keys": pa.array([a.tolist() for a in rows_keys], pa.list_(pa.int64())),
-                "ns": pa.array([a.tolist() for a in rows_ns], pa.list_(pa.int64())),
+                "keys": pa.array(rows_keys, pa.binary()),
+                "ns": pa.array(rows_ns, pa.binary()),
             }
         )
 
-    def render_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        full = np.concatenate([np.asarray(a, dtype=np.uint64) for a in df["keys"]])
-        n = np.concatenate([np.asarray(a, dtype=np.int64) for a in df["ns"]])
+    def assemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Sum duplicate pixels and emit ONE ROW PER TILE carrying its
+        pixel arrays — the cheap reduce leg.  PNG encoding is NOT done
+        here: Ray's sort-based groupby packs the 64 buckets into a
+        handful of output blocks, so anything heavy inside map_groups
+        runs at block parallelism (~4-8), not bucket parallelism — the
+        round-2 bench measured the render leg flat at 8 vs 32 cpus
+        because of exactly this.  Emitting tile rows lets the encode
+        stage re-split into small map_batches tasks."""
+        full = np.concatenate([np.frombuffer(a, dtype=np.uint64) for a in df["keys"]])
+        n = np.concatenate([np.frombuffer(a, dtype=np.int64) for a in df["ns"]])
         order = np.argsort(full, kind="stable")
         full, n = full[order], n[order]
         # collapse duplicate (tile, pixel) keys
         newpix = np.flatnonzero(np.r_[True, full[1:] != full[:-1]])
         sums = np.add.reduceat(n, newpix)
         full = full[newpix]
-        prow = (full & np.uint64(255)).astype(np.int64)
-        pcol = ((full >> np.uint64(8)) & np.uint64(255)).astype(np.int64)
+        pix = (full & np.uint64(0xFFFF)).astype(np.int64)  # pcol<<8 | prow
         tile_key = full >> np.uint64(16)
         ty = (tile_key & np.uint64((1 << 22) - 1)).astype(np.int64)
         tx = ((tile_key >> np.uint64(22)) & np.uint64((1 << 22) - 1)).astype(np.int64)
         z = (tile_key >> np.uint64(44)).astype(np.int64)
         starts = np.flatnonzero(np.r_[True, tile_key[1:] != tile_key[:-1]])
         ends = np.r_[starts[1:], len(tile_key)]
-        out_z, out_x, out_y, blobs = [], [], [], []
-        for s, e in zip(starts, ends):
-            img = render_density_image(pcol[s:e], prow[s:e], sums[s:e], ts, color)
-            out_z.append(int(z[s]))
-            out_x.append(int(tx[s]))
-            out_y.append(int(ty[s]))
-            blobs.append(encode_png(img))
         return pd.DataFrame(
             {
-                "layer": layer.name,
-                "grid": layer.grid.name,
-                "z": np.array(out_z, dtype=np.int32),
-                "x": np.array(out_x, dtype=np.int64),
-                "y": np.array(out_y, dtype=np.int64),
-                "n": np.int32(1),
-                "data": blobs,
-                "content_type": "image/png",
+                "z": z[starts].astype(np.int32),
+                "x": tx[starts],
+                "y": ty[starts],
+                # packed byte payloads (uint16 pixel ids, int64 counts):
+                # binary cells move as buffers, no per-element Python
+                "pix": [pix[s:e].astype(np.uint16).tobytes() for s, e in zip(starts, ends)],
+                "pns": [sums[s:e].tobytes() for s, e in zip(starts, ends)],
+            }
+        )
+
+    def render_tiles(batch: pa.Table) -> pa.Table:
+        zs = batch["z"].to_numpy(zero_copy_only=False)
+        xs = batch["x"].to_numpy(zero_copy_only=False)
+        ys = batch["y"].to_numpy(zero_copy_only=False)
+        blobs = []
+        pix_col = batch["pix"].to_pylist()
+        pns_col = batch["pns"].to_pylist()
+        for i in range(batch.num_rows):
+            pix = np.frombuffer(pix_col[i], dtype=np.uint16).astype(np.int64)
+            pns = np.frombuffer(pns_col[i], dtype=np.int64)
+            img = render_density_image(pix >> 8, pix & 255, pns, ts, color)
+            blobs.append(encode_png(img))
+        return pa.Table.from_pydict(
+            {
+                "layer": pa.array([layer.name] * len(blobs), pa.string()),
+                "grid": pa.array([layer.grid.name] * len(blobs), pa.string()),
+                "z": pa.array(zs.astype(np.int32), pa.int32()),
+                "x": pa.array(xs, pa.int64()),
+                "y": pa.array(ys, pa.int64()),
+                "n": pa.array(np.ones(len(blobs), dtype=np.int32), pa.int32()),
+                "data": pa.array(blobs, pa.binary()),
+                "content_type": pa.array(["image/png"] * len(blobs), pa.string()),
             }
         )
 
     return (
         partials.map_batches(bundle, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(render_bucket, batch_format="pandas")
-        .map_batches(
-            lambda b: b.drop_columns(["bucket"]) if "bucket" in b.schema.names else b,
-            batch_format="pyarrow",
-        )
+        .map_groups(assemble_bucket, batch_format="pandas")
+        # re-split the (small) per-tile rows into n_buckets blocks:
+        # map_batches parallelism is per BLOCK, and the sort upstream
+        # packs its output into a handful of blocks — without this the
+        # encode stage runs at sorted-block parallelism (~4), which the
+        # round-2 bench measured as a flat density leg at 8 vs 32 cpus
+        .repartition(n_buckets)
+        .map_batches(render_tiles, batch_format="pyarrow")
     )
 
 
