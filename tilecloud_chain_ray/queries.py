@@ -767,12 +767,29 @@ def q_generate_point_hash(sf_dir: str) -> pa.Table:
         meta_buffer=128,
         min_resolution_seed=10,
     )
-    result = generate_tiles(layer, concurrency=(1, 2))
-    s = result.summary
+    # ONE pipeline execution: pull the (tiny) tile table once and
+    # derive both the counters and the stored-coordinate set from it
+    # (with_summary=True would consume the lazy dataset a second time)
+    result = generate_tiles(layer, concurrency=(1, 2), with_summary=False)
+    tbl = pa.concat_tables(
+        b.select(["z", "x", "y", "status"])
+        for b in result.tiles.iter_batches(batch_format="pyarrow")
+    )
+    statuses = tbl["status"].to_pylist()
+    meta_dropped = statuses.count("meta_dropped")
+    n_dropped = statuses.count("dropped")
+    n_stored = statuses.count("stored")
+    generated = n_dropped + n_stored
+    s = {
+        "metatiles_generated": meta_dropped + generated // (layer.meta_size**2),
+        "metatiles_dropped": meta_dropped,
+        "tiles_generated": generated,
+        "tiles_dropped": n_dropped,
+        "tiles_stored": n_stored,
+    }
     stored = sorted(
         (int(r["z"]), int(r["x"]), int(r["y"]))
-        for b in result.tiles.iter_batches(batch_format="pyarrow")
-        for r in b.select(["z", "x", "y", "status"]).to_pylist()
+        for r in tbl.to_pylist()
         if r["status"] == "stored"
     )
     kinds = [f"stored:{z}" for z, _, _ in stored] + [
