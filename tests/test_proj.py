@@ -208,3 +208,113 @@ def test_transform_geometry_polygon():
     assert out.bounds == pytest.approx((2530000, 1150000, 2600000, 1200000))
     p = transform_geometry(Point(600000, 200000), t)
     assert (p.x, p.y) == pytest.approx((2600000, 1200000))
+
+
+# --- NTv2 grid shifts (tilecloud_chain_ray/ntv2.py) ---------------------
+
+
+def _linear_grid(scale_lat=0.5, scale_lon=1.0):
+    """Synthetic subgrid over lat 45..48N, lon 5..11E with shifts that
+    vary linearly: bilinear interpolation reproduces a linear field
+    EXACTLY, so off-node checks are closed-form."""
+    import numpy as np
+
+    from tilecloud_chain_ray.ntv2 import SubGrid
+
+    s_lat, n_lat = 45 * 3600.0, 48 * 3600.0
+    # NTv2 longitudes positive WEST: 5..11E = -11*3600..-5*3600 west
+    e_long, w_long = -11 * 3600.0, -5 * 3600.0
+    inc = 1800.0  # 0.5 degree
+    nlat = int((n_lat - s_lat) / inc) + 1
+    nlon = int((w_long - e_long) / inc) + 1
+    lat_nodes = s_lat + inc * np.arange(nlat)
+    lon_nodes = e_long + inc * np.arange(nlon)
+    glat, glon = np.meshgrid(lat_nodes, lon_nodes, indexing="ij")
+    lat_shift = scale_lat * (glat - s_lat) / 3600.0  # 0..1.5 arcsec
+    lon_shift = scale_lon * (glon - e_long) / 3600.0
+    return SubGrid("TESTGRID", "NONE", s_lat, n_lat, e_long, w_long,
+                   inc, inc, lat_shift, lon_shift)
+
+
+def test_ntv2_gsb_roundtrip_and_bilinear():
+    import numpy as np
+
+    from tilecloud_chain_ray.ntv2 import ARCSEC, GridShift, read_gsb, write_gsb
+
+    sg = _linear_grid()
+    grid = read_gsb(write_gsb([sg]))
+    assert len(grid.subgrids) == 1
+    g2 = grid.subgrids[0]
+    np.testing.assert_allclose(g2.lat_shift, sg.lat_shift, atol=1e-4)  # f32 nodes
+    # off-node points: linear field -> exact bilinear value
+    lon = np.deg2rad(np.array([6.123, 9.876, 7.5]))
+    lat = np.deg2rad(np.array([45.678, 47.201, 46.0]))
+    lon2, lat2 = grid.shift(lon, lat)
+    want_dlat = 0.5 * (np.rad2deg(lat) - 45.0)  # arcsec
+    want_dlon_w = 1.0 * (-np.rad2deg(lon) + 11.0)
+    np.testing.assert_allclose((lat2 - lat) / ARCSEC, want_dlat, atol=2e-3)
+    np.testing.assert_allclose(-(lon2 - lon) / ARCSEC, want_dlon_w, atol=2e-3)
+    # inverse round-trips to ~1e-11 rad
+    lon3, lat3 = grid.shift(lon2, lat2, inverse=True)
+    np.testing.assert_allclose(lon3, lon, atol=1e-11)
+    np.testing.assert_allclose(lat3, lat, atol=1e-11)
+    # points outside every subgrid pass through unchanged
+    out_lon = np.deg2rad(np.array([0.0]))
+    out_lat = np.deg2rad(np.array([10.0]))
+    same = grid.shift(out_lon, out_lat)
+    np.testing.assert_allclose(same[0], out_lon)
+    np.testing.assert_allclose(same[1], out_lat)
+    assert isinstance(grid, GridShift)
+
+
+def test_ntv2_densest_subgrid_wins():
+    import numpy as np
+
+    from tilecloud_chain_ray.ntv2 import GridShift, SubGrid
+
+    coarse = _linear_grid()
+    # finer child over 46..47N, 7..9E with a CONSTANT 2" lat shift
+    s_lat, n_lat = 46 * 3600.0, 47 * 3600.0
+    e_long, w_long = -9 * 3600.0, -7 * 3600.0
+    inc = 900.0
+    nlat = int((n_lat - s_lat) / inc) + 1
+    nlon = int((w_long - e_long) / inc) + 1
+    child = SubGrid("CHILD", "TESTGRID", s_lat, n_lat, e_long, w_long, inc, inc,
+                    np.full((nlat, nlon), 2.0), np.zeros((nlat, nlon)))
+    grid = GridShift([coarse, child])
+    from tilecloud_chain_ray.ntv2 import ARCSEC
+
+    lon = np.deg2rad(np.array([8.0, 10.0]))  # inside child, outside child
+    lat = np.deg2rad(np.array([46.5, 47.5]))
+    _, lat2 = grid.shift(lon, lat)
+    dlat = (lat2 - lat) / ARCSEC
+    assert abs(dlat[0] - 2.0) < 1e-6  # child wins
+    assert abs(dlat[1] - 0.5 * 2.5) < 1e-3  # coarse linear field
+
+
+def test_transformer_nadgrids_applies_grid():
+    import numpy as np
+
+    from tilecloud_chain_ray.ntv2 import ARCSEC, GridShift, register_grid, write_gsb
+    from tilecloud_chain_ray.proj import Transformer
+
+    register_grid("test_shift.gsb", write_gsb([_linear_grid()]))
+    t = Transformer.from_proj4(
+        "+proj=longlat +ellps=WGS84 +nadgrids=test_shift.gsb +no_defs",
+        "+proj=longlat +ellps=WGS84 +towgs84=0,0,0 +no_defs",
+    )
+    lon, lat = t.transform(np.array([7.5]), np.array([46.0]))
+    # expected: lat += 0.5"*(46-45), lon(east) -= 1"*(11-7.5)
+    assert abs(lat[0] - (46.0 + 0.5 * 1.0 / 3600.0)) < 1e-7
+    assert abs(lon[0] - (7.5 - 3.5 / 3600.0)) < 1e-7
+    # and through a projected CRS the shift survives the pipeline:
+    # same grid into swiss LV95 vs plain WGS84->LV95 differs by ~30 m
+    t_grid = Transformer.from_proj4(
+        "+proj=longlat +ellps=WGS84 +nadgrids=test_shift.gsb +no_defs",
+        LV95,
+    )
+    t_plain = Transformer.from_proj4("+proj=longlat +ellps=WGS84 +towgs84=0,0,0 +no_defs", LV95)
+    xg, yg = t_grid.transform(np.array([7.44]), np.array([46.95]))
+    xp, yp = t_plain.transform(np.array([7.44]), np.array([46.95]))
+    assert 10 < abs(float(xg - xp)) < 200  # ~3.56" west shift ~ -75 m
+    assert 1 < abs(float(yg - yp)) < 100   # ~0.98" lat shift ~ +30 m

@@ -526,10 +526,20 @@ class Transformer:
     """src -> dst coordinate transform, vectorized (always_xy order)."""
 
     def __init__(self, src: dict, dst: dict) -> None:
+        from tilecloud_chain_ray.ntv2 import lookup_grid
+
         self.src_proj = _PROJECTIONS[str(src["proj"])](src)
         self.dst_proj = _PROJECTIONS[str(dst["proj"])](dst)
         self.src_datum = _datum_of(src)
         self.dst_datum = _datum_of(dst)
+        # NTv2 grid shifts (+nadgrids=<file-or-registered-name>): a
+        # grid REPLACES the side's towgs84, classic proj4 semantics
+        self.src_grid = (
+            lookup_grid(str(src["nadgrids"])) if "nadgrids" in src else None
+        )
+        self.dst_grid = (
+            lookup_grid(str(dst["nadgrids"])) if "nadgrids" in dst else None
+        )
         same_ellps = (
             abs(self.src_datum.a - self.dst_datum.a) < 1e-9
             and abs(self.src_datum.es - self.dst_datum.es) < 1e-15
@@ -537,7 +547,11 @@ class Transformer:
         s_t, d_t = self.src_datum.towgs84, self.dst_datum.towgs84
         # classic proj4: no shift when both datums agree (or neither is
         # specified); otherwise missing towgs84 counts as zeros
-        self.shift = not (same_ellps and (s_t == d_t or (s_t is None and d_t is None)))
+        self.shift = (
+            self.src_grid is not None
+            or self.dst_grid is not None
+            or not (same_ellps and (s_t == d_t or (s_t is None and d_t is None)))
+        )
 
     @classmethod
     def from_proj4(cls, literal_src: str, literal_dst: str) -> "Transformer":
@@ -553,12 +567,32 @@ class Transformer:
         lon, lat = self.src_proj.inverse(x, y)
         if self.shift:
             sd, dd = self.src_datum, self.dst_datum
-            X, Y, Z = _geodetic_to_xyz(lon, lat, sd.a, sd.es)
-            if sd.towgs84 and any(sd.towgs84):
-                X, Y, Z = _helmert(X, Y, Z, sd.towgs84)
-            if dd.towgs84 and any(dd.towgs84):
-                X, Y, Z = _helmert(X, Y, Z, dd.towgs84, inverse=True)
-            lon, lat = _xyz_to_geodetic(X, Y, Z, dd.a, dd.es)
+            if self.src_grid is None and self.dst_grid is None:
+                # pure Helmert chain stays in XYZ (no intermediate
+                # geodetic iteration)
+                X, Y, Z = _geodetic_to_xyz(lon, lat, sd.a, sd.es)
+                if sd.towgs84 and any(sd.towgs84):
+                    X, Y, Z = _helmert(X, Y, Z, sd.towgs84)
+                if dd.towgs84 and any(dd.towgs84):
+                    X, Y, Z = _helmert(X, Y, Z, dd.towgs84, inverse=True)
+                lon, lat = _xyz_to_geodetic(X, Y, Z, dd.a, dd.es)
+            else:
+                # grid-aware path pivots through WGS84 geodetic
+                a_w, rf_w = ELLIPSOIDS["WGS84"]
+                f_w = 1.0 / rf_w
+                es_w = f_w * (2 - f_w)
+                if self.src_grid is not None:
+                    lon, lat = self.src_grid.shift(lon, lat)
+                elif sd.towgs84 and any(sd.towgs84):
+                    X, Y, Z = _geodetic_to_xyz(lon, lat, sd.a, sd.es)
+                    X, Y, Z = _helmert(X, Y, Z, sd.towgs84)
+                    lon, lat = _xyz_to_geodetic(X, Y, Z, a_w, es_w)
+                if self.dst_grid is not None:
+                    lon, lat = self.dst_grid.shift(lon, lat, inverse=True)
+                elif dd.towgs84 and any(dd.towgs84):
+                    X, Y, Z = _geodetic_to_xyz(lon, lat, a_w, es_w)
+                    X, Y, Z = _helmert(X, Y, Z, dd.towgs84, inverse=True)
+                    lon, lat = _xyz_to_geodetic(X, Y, Z, dd.a, dd.es)
         return self.dst_proj.forward(lon, lat)
 
 
