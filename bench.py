@@ -122,7 +122,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
 
 SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "800000"))
-SCALING_DIR = f"/tmp/graft_pages_{SCALING_PAGES}"
+# 128 files at the default size: enough read/fused-task waves that the
+# 32-cpu level isn't tail-bound by 2 uneven waves (a real corpus has
+# thousands of shards; file count must not be the parallelism cap)
+SCALING_ROWS_PER_FILE = int(os.environ.get("GRAFT_SCALING_ROWS_PER_FILE", "6250"))
+SCALING_DIR = f"/tmp/graft_pages_{SCALING_PAGES}_{SCALING_ROWS_PER_FILE}"
 
 
 def scaling_workload(num_cpus: int) -> dict:
@@ -148,7 +152,7 @@ def scaling_workload(num_cpus: int) -> dict:
 
     from tilecloud_chain_ray.sources.pages import synthesize_pages
 
-    synthesize_pages(SCALING_DIR, SCALING_PAGES, avg_html=512, rows_per_file=12_500)
+    synthesize_pages(SCALING_DIR, SCALING_PAGES, avg_html=512, rows_per_file=SCALING_ROWS_PER_FILE)
 
     @ray.remote
     def _warm() -> int:
@@ -192,11 +196,13 @@ def scaling_workload(num_cpus: int) -> dict:
         )
         return stage(batch)
 
-    # branch point: keep only the 8-byte cell column pinned (6.4 MB for
-    # 800k pages) so the density branch doesn't re-read + re-geocode
+    # branch point: materialize ONCE after geocode+analyze so the band
+    # branch and the density branch share a single read+geocode pass
+    # (consuming a lazy Dataset twice re-executes its whole chain)
     analyzed = geocoded.map_batches(analyze, batch_format="pyarrow", batch_size=4096)
-    banded = analyzed.map_batches(band_fn, batch_format="pyarrow", batch_size=2048)
-    geo_cells = geocoded.select_columns(["cell"]).materialize()
+    mat = analyzed.materialize()
+    banded = mat.map_batches(band_fn, batch_format="pyarrow", batch_size=2048)
+    geo_cells = mat.select_columns(["cell"])
     n_band_rows = banded.count()
     t_analysis = time.perf_counter() - t0
 
@@ -256,7 +262,7 @@ def scaling_run() -> None:
     )
     from tilecloud_chain_ray.sources.pages import synthesize_pages
 
-    synthesize_pages(SCALING_DIR, SCALING_PAGES, avg_html=512, rows_per_file=12_500)
+    synthesize_pages(SCALING_DIR, SCALING_PAGES, avg_html=512, rows_per_file=SCALING_ROWS_PER_FILE)
     ray.shutdown()
 
     # N -> 4N parallelism levels.  Default 2 -> 8: on this sandbox's CPU,
