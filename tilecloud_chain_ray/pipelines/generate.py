@@ -55,6 +55,18 @@ def add_dimensions(ds: ray.data.Dataset, layer: Layer) -> ray.data.Dataset:
     return ds.map_batches(expand, batch_format="pyarrow")
 
 
+def fetch_status_to_inband(batch: pa.Table) -> pa.Table:
+    """Map HTTPFetcher output onto the pipeline's in-band row schema:
+    ``fetch_status='error'`` becomes ``status='error'`` (hash-drop and
+    split pass such rows through untouched; WmtsWriter skips them),
+    everything else proceeds as a freshly generated (meta)tile."""
+    statuses = pa.array(
+        ["error" if s == "error" else "generated" for s in batch["fetch_status"].to_pylist()],
+        pa.string(),
+    )
+    return batch.drop_columns(["fetch_status"]).append_column("status", statuses)
+
+
 @dataclass
 class GenerateResult:
     tiles: ray.data.Dataset
@@ -78,6 +90,8 @@ def generate_tiles(
     test_n: int | None = None,
     render_geometries=None,
     tiles_file: str | None = None,
+    wms_url: str | None = None,
+    wms_kwargs: dict | None = None,
 ) -> GenerateResult:
     """Run the full pyramid generation for one layer.
 
@@ -167,21 +181,34 @@ def generate_tiles(
     # only pays off for heavy state (see stages/pip_join.py).
     from tilecloud_chain_ray.util import process_cached
 
-    geoms_ref = ray.put(
-        list(render_geometries) if render_geometries is not None else list(layer.geometries)
-    )
-    rkw = dict(renderer_kwargs or {})
+    if wms_url is not None:
+        # real A1: fetch (meta)tiles from a WMS server over HTTP instead
+        # of rendering locally (reference store/url.py via get_store,
+        # generate.py:525-573).  204/404 vanish (the reference's None
+        # tiles); HTTP/WMS errors flow on in-band as status='error'
+        # rows with the message in the ``error`` column, consumable by
+        # the error-budget / error-list stages like any other failure.
+        from tilecloud_chain_ray.stages.fetch import fetch_tiles
 
-    def render_fn(batch: pa.Table) -> pa.Table:
-        r = process_cached(
-            ("renderer", renderer_cls.__name__, layer.name, geoms_ref.hex()),
-            lambda: renderer_cls(layer=layer, geoms_ref=geoms_ref, **rkw),
+        rendered = fetch_tiles(
+            coords, layer, wms_url, **(wms_kwargs or {})
+        ).map_batches(fetch_status_to_inband, batch_format="pyarrow")
+    else:
+        geoms_ref = ray.put(
+            list(render_geometries) if render_geometries is not None else list(layer.geometries)
         )
-        return r(batch)
+        rkw = dict(renderer_kwargs or {})
 
-    rendered = coords.map_batches(
-        render_fn, batch_format="pyarrow", batch_size=render_batch_size
-    )
+        def render_fn(batch: pa.Table) -> pa.Table:
+            r = process_cached(
+                ("renderer", renderer_cls.__name__, layer.name, geoms_ref.hex()),
+                lambda: renderer_cls(layer=layer, geoms_ref=geoms_ref, **rkw),
+            )
+            return r(batch)
+
+        rendered = coords.map_batches(
+            render_fn, batch_format="pyarrow", batch_size=render_batch_size
+        )
     if layer.meta:
         rendered = rendered.map_batches(
             make_hash_dropper(empty_meta, "meta_dropped"),
