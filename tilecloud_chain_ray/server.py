@@ -20,10 +20,11 @@ from tilecloud_chain_ray.sinks.wmts import tile_path
 
 @dataclass
 class TileResponse:
-    status: int  # 200 found | 204 no content | 400 bad request
+    status: int  # 200 found | 204 no content | 4xx/5xx error
     data: bytes | None = None
     content_type: str | None = None
     message: str | None = None
+    headers: dict | None = None  # extra response headers (Tile-Backend, …)
 
 
 def get_tile_fs(
