@@ -127,6 +127,59 @@ def cmd_time(args) -> None:
     ray.shutdown()
 
 
+def cmd_serve(args) -> None:
+    """Serve the configured layers over WMTS (KVP + REST), the analog of
+    the reference's FastAPI server (``server.py:1103-1219``).  With
+    ``--dynamic``, tiles beyond the seeded zooms (or outside the layer
+    geometry) are generated on demand through the internal mapcache —
+    from each layer's configured WMS ``url`` when present, else the
+    deterministic renderer."""
+    from tilecloud_chain_ray.config_yaml import load_config
+    from tilecloud_chain_ray.wmts_server import (
+        LocalMapCache,
+        WmtsServer,
+        default_tile_source,
+        serve_wmts,
+        wms_tile_source,
+    )
+
+    loaded = load_config(args.config)
+    root = args.root or next(iter(loaded.caches.values()), None)
+    mapcache = LocalMapCache() if args.dynamic else None
+
+    def tile_source(layer):
+        url = loaded.urls.get(layer.name)
+        if url:
+            return wms_tile_source(layer, url)
+        return default_tile_source(layer)
+
+    server = WmtsServer(
+        loaded.engine.layers,
+        root,
+        mapcache=mapcache,
+        tile_source=tile_source,
+        max_zoom_seed=args.max_zoom_seed,
+    )
+    httpd = serve_wmts(server, host=args.host, port=args.port)
+    print(
+        json.dumps(
+            {
+                "url": f"http://{args.host}:{httpd.server_address[1]}/",
+                "layers": sorted(loaded.engine.layers),
+                "root": root,
+                "dynamic": bool(mapcache),
+            }
+        ),
+        flush=True,
+    )
+    try:
+        import threading
+
+        threading.Event().wait()  # serve until interrupted
+    except KeyboardInterrupt:
+        httpd.shutdown()
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -161,6 +214,15 @@ def main(argv=None) -> None:
     p.add_argument("--layer", required=True)
     p.add_argument("--algo", default="area", choices=["area", "count"])
     p.set_defaults(fn=cmd_cost)
+
+    p = sub.add_parser("serve", help="WMTS server (KVP+REST) over a pyramid")
+    p.add_argument("--config", required=True)
+    p.add_argument("--root", help="static pyramid dir (default: first cache)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--dynamic", action="store_true", help="mapcache beyond seed")
+    p.add_argument("--max-zoom-seed", type=int)
+    p.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -126,3 +126,31 @@ def test_time_cli(config_path):
     assert out["metatiles"] == 2
     assert out["tiles"] == 128  # 2 metatiles x 64 children
     assert out["us_per_tile"] > 0
+
+
+def test_serve_cli(config_path):
+    """serve: WMTS over HTTP with dynamic mapcache beyond the seed."""
+    import urllib.request
+
+    proc = subprocess.Popen(
+        [sys.executable, "jobs/tcr.py", "serve", "--config", config_path,
+         "--port", "0", "--dynamic"],
+        stdout=subprocess.PIPE, text=True, cwd="/root/repo",
+    )
+    try:
+        info = json.loads(proc.stdout.readline())
+        assert info["layers"] == ["point_hash"] and info["dynamic"]
+        base = info["url"].rstrip("/")
+        with urllib.request.urlopen(f"{base}/1.0.0/WMTSCapabilities.xml") as r:
+            assert r.status == 200 and b"point_hash" in r.read()
+        # z4 is beyond the seeded zooms (min_resolution_seed=10 -> 0..3):
+        # generated on demand through the mapcache
+        with urllib.request.urlopen(
+            f"{base}/1.0.0/point_hash/default/swissgrid_5/4/117/140.png"
+        ) as r:
+            assert r.status == 200
+            assert r.headers["Tile-Backend"] == "mapcache-generate"
+            assert r.read().startswith(b"\x89PNG")
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)

@@ -185,6 +185,7 @@ def validate_config(doc: dict, file: str = "<config>") -> list[str]:
 class LoadedConfig:
     engine: EngineConfig
     caches: dict[str, str] = field(default_factory=dict)  # name -> folder
+    urls: dict[str, str] = field(default_factory=dict)  # layer -> WMS url
     warnings_: list[str] = field(default_factory=list)
 
 
@@ -334,6 +335,13 @@ def load_config(
             mime_type=lay.get("mime_type", "image/png"),
         )
 
+    # per-layer WMS backend URLs (type: wms) for the fetch/serve paths
+    urls = {
+        name: lay["url"]
+        for name, lay in (doc.get("layers") or {}).items()
+        if lay.get("url")
+    }
+
     caches = {}
     for name, c in (doc.get("caches") or {}).items():
         # filesystem: WMTS layout under folder; mbtiles: single-file
@@ -346,5 +354,8 @@ def load_config(
     for w in warns:
         warnings.warn(w, stacklevel=2)
     return LoadedConfig(
-        engine=EngineConfig(grids=grids, layers=layers), caches=caches, warnings_=warns
+        engine=EngineConfig(grids=grids, layers=layers),
+        caches=caches,
+        urls=urls,
+        warnings_=warns,
     )
