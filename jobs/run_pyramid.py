@@ -38,6 +38,67 @@ def parse_zooms(text: str | None) -> list[int] | None:
     return sorted(out)
 
 
+def watch_loop(
+    layer,
+    watch_dir: str,
+    out: str,
+    *,
+    poll_interval: float = 5.0,
+    once: bool = False,
+) -> None:
+    """Daemon loop: consume tiles files dropped into ``watch_dir``.
+
+    The reference's ``--daemon`` keeps the queue store polling forever
+    (``generate.py:750-754``; SQS/PostgreSQL queue).  Here the Dataset
+    is the queue, so the daemon analog consumes *work files* — each a
+    tiles file of ``z/x/y[:+n/+n]`` lines (error-list re-runs, seed
+    drops) — runs the full generate chain on each, and moves the file
+    to ``done/`` (or ``error/`` with a ``.err`` note).  Claims are
+    rename-based, so several daemons can watch one directory without
+    double-processing (at-least-once, like the queue's visibility
+    timeout).
+    """
+    import time
+
+    from tilecloud_chain_ray.pipelines.generate import generate_tiles
+
+    done_dir = os.path.join(watch_dir, "done")
+    error_dir = os.path.join(watch_dir, "error")
+    claim_dir = os.path.join(watch_dir, "claimed")
+    for d in (done_dir, error_dir, claim_dir):
+        os.makedirs(d, exist_ok=True)
+
+    while True:
+        pending = sorted(
+            f
+            for f in os.listdir(watch_dir)
+            if os.path.isfile(os.path.join(watch_dir, f))
+        )
+        for name in pending:
+            claimed = os.path.join(claim_dir, name)
+            try:
+                os.rename(os.path.join(watch_dir, name), claimed)
+            except OSError:
+                continue  # another daemon claimed it first
+            try:
+                result = generate_tiles(
+                    layer, tiles_file=claimed, out_wmts=out, concurrency=2
+                )
+                os.replace(claimed, os.path.join(done_dir, name))
+                print(json.dumps({"file": name, **result.summary}), flush=True)
+            except Exception as exc:  # file-scoped failure, daemon lives on
+                os.replace(claimed, os.path.join(error_dir, name))
+                with open(os.path.join(error_dir, name + ".err"), "w") as fh:
+                    fh.write(f"{type(exc).__name__}: {exc}\n")
+                print(
+                    json.dumps({"file": name, "error": f"{type(exc).__name__}: {exc}"}),
+                    flush=True,
+                )
+        if once:
+            return
+        time.sleep(poll_interval)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", help="reference-style YAML config")
@@ -54,6 +115,16 @@ def main() -> None:
         "--cell-res",
         type=int,
         help="geocode cell resolution (density mode); default max(14, max_zoom+8)",
+    )
+    ap.add_argument(
+        "--watch",
+        help="daemon mode: drop dir of tiles files (z/x/y[:+n/+n] lines) "
+        "consumed continuously — the reference's --daemon queue loop "
+        "(generate.py:750-754) with the filesystem as the queue",
+    )
+    ap.add_argument("--poll-interval", type=float, default=5.0)
+    ap.add_argument(
+        "--once", action="store_true", help="drain the watch dir once, then exit"
     )
     args = ap.parse_args()
 
@@ -104,6 +175,16 @@ def main() -> None:
 
     loaded = load_config(args.config)
     layer = loaded.engine.layers[args.layer]
+
+    if args.watch:
+        watch_loop(
+            layer,
+            args.watch,
+            args.out,
+            poll_interval=args.poll_interval,
+            once=args.once,
+        )
+        return
     summary = generate_resumable(
         layer,
         args.out,

@@ -154,3 +154,34 @@ def test_serve_cli(config_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_daemon_watch_loop(config_path, tmp_path):
+    """--watch daemon: drop-dir tiles files consumed, results moved to
+    done/ (queue analog of the reference --daemon loop)."""
+    watch = tmp_path / "queue"
+    out = tmp_path / "tiles"
+    watch.mkdir()
+    # metatile containing the two stored z3 tiles + a bad file
+    (watch / "a.list").write_text("3/64/56:+8/+8\n# comment\n3/40/72:+8/+8\n")
+    (watch / "bad.list").write_text("not-a-coord\n")
+    proc = subprocess.run(
+        [sys.executable, "jobs/run_pyramid.py", "--config", config_path,
+         "--layer", "point_hash", "--out", str(out),
+         "--watch", str(watch), "--once"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = [json.loads(l) for l in proc.stdout.strip().splitlines()]
+    by_file = {l["file"]: l for l in lines}
+    assert by_file["a.list"]["tiles_stored"] == 2
+    assert "error" in by_file["bad.list"]
+    assert (watch / "done" / "a.list").exists()
+    assert (watch / "error" / "bad.list").exists()
+    assert (watch / "error" / "bad.list.err").read_text().strip()
+    assert not (watch / "a.list").exists()
+    # the two stored tiles landed in the WMTS layout
+    import glob
+
+    pngs = sorted(glob.glob(str(out / "**" / "*.png"), recursive=True))
+    assert [p.split("swissgrid_5/")[1] for p in pngs] == ["3/58/70.png", "3/78/42.png"]
