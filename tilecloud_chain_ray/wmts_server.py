@@ -461,7 +461,15 @@ class WmtsServer:
     # -- helpers --
 
     def _cache_headers(self) -> dict:
-        return {"Cache-Control": f"max-age={int(3600 * self.expires_hours)}"}
+        import datetime
+
+        expires = datetime.datetime.now(tz=datetime.timezone.utc) + datetime.timedelta(
+            hours=self.expires_hours
+        )
+        return {
+            "Expires": expires.isoformat(),
+            "Cache-Control": f"max-age={int(3600 * self.expires_hours)}",
+        }
 
     def _layer_max_zoom_seed(self, layer: Layer) -> int:
         if isinstance(self.max_zoom_seed, dict):
