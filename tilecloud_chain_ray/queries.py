@@ -111,7 +111,11 @@ def q_tile_counts_per_zoom(sf_dir: str) -> pa.Table:
         g = df.groupby(["z", "tx", "ty"]).size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = assigned.map_batches(per_zoom_partial, batch_format="pyarrow")
+    from tilecloud_chain_ray.util import narrow_partials
+
+    partials = narrow_partials(
+        assigned.map_batches(per_zoom_partial, batch_format="pyarrow")
+    )
     tile_counts = partials.groupby(["z", "tx", "ty"]).aggregate(Sum("n", alias_name="n"))
 
     # second aggregation stays a pure vectorized aggregate: a z-14 zoom
@@ -175,7 +179,9 @@ def q_cell_counts_r8(sf_dir: str) -> ray.data.Dataset:
         g = df.groupby(["cell_x", "cell_y"]).size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = docs.map_batches(cells, batch_format="pyarrow")
+    from tilecloud_chain_ray.util import narrow_partials
+
+    partials = narrow_partials(docs.map_batches(cells, batch_format="pyarrow"))
     return partials.groupby(["cell_x", "cell_y"]).aggregate(Sum("n", alias_name="n"))
 
 
