@@ -92,12 +92,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cell_spatial": q.q_knn_cell_spatial,
         "density_tiles": q.q_density_tiles,
         "generate_point_hash": q.q_generate_point_hash,
+        "fingerprints": q.q_fingerprints,
         # rows-only (non-SQL-expressible) checks
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
         "embed_near_dup": q.q_embed_near_dup,
         "knn_ann": q.q_knn_ann,  # lsh + ivf variants in one entry
-        "fingerprints": q.q_fingerprints,
         "approx_distinct": q.q_approx_distinct,  # global + grouped in one entry
         "media_pipeline": q.q_media_pipeline,
     }  # exactly 50 entries: the driver's correctness capture caps at 50
@@ -580,6 +580,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_points
             FROM documents CROSS JOIN zs
             GROUP BY 1, 2, 3
+        """,
+        # rolling 8-byte polynomial fingerprint (stages/text.py
+        # fingerprint_batch): min over windows of sum(byte[j] * 31^j)
+        # mod 2^32.  Exact in SQL for ASCII text >= 8 bytes (the
+        # testdata invariant; covered by tests/test_oracle_parity) —
+        # unicode(char) == byte value, BIGINT sums never overflow
+        # (max ~7.2e12), so % 4294967296 == the numpy uint64 masking.
+        "fingerprints": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, strlen(text)),
+                                      i -> CAST(unicode(text[i]) AS BIGINT)) AS bytes
+                FROM documents
+            ),
+            fp AS (
+                SELECT doc_id,
+                       list_min(list_transform(
+                           generate_series(1, len(bytes) - 7),
+                           i -> (bytes[i] + bytes[i+1]*31 + bytes[i+2]*961
+                               + bytes[i+3]*29791 + bytes[i+4]*923521
+                               + bytes[i+5]*28629151 + bytes[i+6]*887503681
+                               + bytes[i+7]*27512614111) % 4294967296)) AS fingerprint
+                FROM b
+            )
+            SELECT fingerprint, count(*) AS n_docs FROM fp GROUP BY fingerprint
         """,
         # reference tests/test_generate.py point_hash goldens: the 8
         # stored (z, row, col) tiles + the run counters

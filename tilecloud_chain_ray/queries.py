@@ -866,7 +866,9 @@ def q_geom_filter_counts(sf_dir: str) -> ray.data.Dataset:
 
 def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
     """Document fingerprint histogram: rolling 8-gram min-hash per doc,
-    grouped — deterministic, rows-only (not SQL-expressible)."""
+    grouped.  SQL-exact for ASCII text >= 8 bytes: the polynomial
+    window hash (sum byte[j]*31^j mod 2^32) is plain BIGINT arithmetic
+    over unicode(char) byte values in DuckDB (see __ray_entry__)."""
     from ray.data.aggregate import Count
 
     from tilecloud_chain_ray.stages.text import fingerprint_batch
