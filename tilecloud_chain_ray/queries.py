@@ -885,8 +885,10 @@ def q_approx_distinct(sf_dir: str) -> pa.Table:
     """HyperLogLog approximate distinct, global AND grouped in one
     entry (the driver caps capture at 50 queries): scope 'doc_id' =
     global distinct docs; scope 'users:<event_type>' = grouped
-    mergeable per-type user sketches.  Rows-only — approximate by
-    design; accuracy pinned vs exact counts in tests/test_extras."""
+    mergeable per-type user sketches.  Approximate vs the TRUE
+    distinct count (accuracy pinned in tests/test_extras), but
+    deterministic — the SQL oracle reproduces the whole sketch
+    (splitmix64 + registers + estimate) bit-for-bit in DuckDB."""
     from tilecloud_chain_ray.stages.sketch import approx_distinct, grouped_approx_distinct
 
     docs = _read(sf_dir, "documents", ["doc_id"])
