@@ -94,10 +94,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "generate_point_hash": q.q_generate_point_hash,
         "fingerprints": q.q_fingerprints,
         "approx_distinct": q.q_approx_distinct,  # global + grouped in one entry
+        "embed_near_dup": q.q_embed_near_dup,
         # rows-only (non-SQL-expressible) checks
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
-        "embed_near_dup": q.q_embed_near_dup,
         "knn_ann": q.q_knn_ann,  # lsh + ivf variants in one entry
         "media_pipeline": q.q_media_pipeline,
     }  # exactly 50 entries: the driver's correctness capture caps at 50
@@ -172,6 +172,32 @@ def _hll_sql() -> str:
                           ELSE CAST({am2!r} AS DOUBLE) / (s + zeros) END) AS BIGINT)
                    AS approx_distinct
         FROM agg
+    """
+
+
+def _embed_near_dup_sql(threshold: float = 0.35, n_planes: int = 4, dim: int = 64) -> str:
+    """Hyperplane-LSH near-dup in SQL: the seeded plane matrix (the
+    same numpy default_rng(11) draw stages/dedup.embedding_near_dup
+    makes) is inlined as float literals; sign(v . plane) is invariant
+    under the engine's positive-norm scaling, so bucketing skips
+    normalization; exact cosine within buckets via
+    list_cosine_similarity."""
+    import numpy as np
+
+    planes = np.random.default_rng(11).standard_normal((dim, n_planes))
+    code = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding, "
+        f"[{', '.join(repr(float(v)) for v in planes[:, i])}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {code} AS bucket FROM embeddings
+        )
+        SELECT a.vec_id AS key_a, b2.vec_id AS key_b
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE list_cosine_similarity(a.embedding, b2.embedding) >= {threshold!r}
     """
 
 
@@ -664,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT fingerprint, count(*) AS n_docs FROM fp GROUP BY fingerprint
         """,
         "approx_distinct": _hll_sql(),
+        "embed_near_dup": _embed_near_dup_sql(),
         # reference tests/test_generate.py point_hash goldens: the 8
         # stored (z, row, col) tiles + the run counters
         "generate_point_hash": """

@@ -618,8 +618,14 @@ def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_embed_near_dup(sf_dir: str) -> ray.data.Dataset:
+    """Hyperplane-LSH bucket -> exact cosine within bucket.  The
+    synthetic embeddings carry no real near-dups (max pairwise cosine
+    ~0.51), so the driver entry runs at threshold 0.35 / 4 planes to
+    exercise a NON-EMPTY bucketed result; the SQL oracle inlines the
+    same seeded planes (sign of the dot product is scale-invariant,
+    so bucketing needs no normalization in SQL)."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = dedup_mod.embedding_near_dup(emb, threshold=0.9)
+    out = dedup_mod.embedding_near_dup(emb, threshold=0.35, n_planes=4)
     return out.select_columns(["key_a", "key_b"])
 
 
