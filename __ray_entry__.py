@@ -95,9 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q.q_fingerprints,
         "approx_distinct": q.q_approx_distinct,  # global + grouped in one entry
         "embed_near_dup": q.q_embed_near_dup,
-        # rows-only (non-SQL-expressible) checks
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
+        # rows-only (non-SQL-expressible) checks
         "knn_ann": q.q_knn_ann,  # lsh + ivf variants in one entry
         "media_pipeline": q.q_media_pipeline,
     }  # exactly 50 entries: the driver's correctness capture caps at 50
@@ -172,6 +172,161 @@ def _hll_sql() -> str:
                           ELSE CAST({am2!r} AS DOUBLE) / (s + zeros) END) AS BIGINT)
                    AS approx_distinct
         FROM agg
+    """
+
+
+_CRC_EXPR = (
+    "xor(list_reduce(list_prepend(4294967295, "
+    "list_transform(generate_series(1, strlen({w})), i -> CAST(unicode({w}[i]) AS BIGINT))), "
+    "(acc, x) -> xor(acc >> 8, tbl[(xor(acc, x) & 255) + 1])), 4294967295)"
+)
+
+
+def _crc32_table() -> list[int]:
+    out = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        out.append(c)
+    return out
+
+
+def _minhash_sql(threshold: float = 0.8, num_perm: int = 64, bands: int = 16) -> str:
+    """The ENTIRE MinHash+LSH near-dup chain in DuckDB SQL, bit-for-bit
+    the engine (stages/dedup.py): zlib.crc32 per word via a
+    list_reduce over the standard 256-entry CRC table; 3-word shingle
+    hashes by wraparound multiply-xor (HUGEINT split multiplies stand
+    in for uint64 wraparound); the 64 seeded permutations a*h+b mod
+    2^64 with min over shingles; per-band multiply-xor fold (>>1);
+    candidate pairs sharing any (band, band_hash); exact Jaccard over
+    distinct shingle-hash sets >= threshold.  The a/b permutation
+    constants are read from the engine's own seeded MinHasher so the
+    two sides cannot drift."""
+    import numpy as np  # noqa: F401  (MinHasher needs numpy present)
+
+    from tilecloud_chain_ray.stages.dedup import _SHINGLE_MULTS, MinHasher
+
+    mh = MinHasher(num_perm, 7)
+    M = [int(x) for x in _SHINGLE_MULTS]
+    P64 = 18446744073709551616
+    r = num_perm // bands
+    perm_rows = ", ".join(
+        f"({p}, {int(mh.a[p])}, {int(mh.b[p])}, {p // r}, {p % r}, {M[(p % r) % 3]})"
+        for p in range(num_perm)
+    )
+    return f"""
+        WITH crct(tbl) AS (SELECT [{",".join(map(str, _crc32_table()))}]),
+        words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents
+        ),
+        uw AS (SELECT DISTINCT unnest(ws) AS word FROM words),
+        wcrc AS (
+          SELECT word, {_CRC_EXPR.format(w='word')} AS crc
+          FROM uw CROSS JOIN crct
+        ),
+        tok AS (
+          SELECT doc_id, unnest(ws) AS word,
+                 unnest(generate_series(1, len(ws))) AS i, len(ws) AS nw
+          FROM words
+        ),
+        tokc AS (SELECT t.doc_id, t.i, t.nw, w.crc FROM tok t JOIN wcrc w USING (word)),
+        sh0 AS (
+          SELECT a.doc_id,
+                 CAST(xor(xor(
+                     CAST((CAST(a.crc AS HUGEINT) * {M[0]}) % {P64} AS UBIGINT),
+                     CAST((CAST(b.crc AS HUGEINT) * {M[1]}) % {P64} AS UBIGINT)),
+                     CAST((CAST(c.crc AS HUGEINT) * {M[2]}) % {P64} AS UBIGINT)) AS UBIGINT) AS sh
+          FROM tokc a
+          JOIN tokc b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+          JOIN tokc c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+          WHERE a.nw >= 3
+        ),
+        shshort AS (
+          SELECT w.doc_id, CAST({_CRC_EXPR.format(w="array_to_string(w.ws, ' ')")} AS UBIGINT) AS sh
+          FROM words w CROSS JOIN crct WHERE len(w.ws) < 3
+        ),
+        sh AS (SELECT DISTINCT doc_id, sh
+               FROM (SELECT * FROM sh0 UNION ALL SELECT * FROM shshort)),
+        perm(p, a, b, band, jj, m) AS (VALUES {perm_rows}),
+        sig AS (
+          SELECT s.doc_id, p.p, p.band, p.jj, p.m,
+                 min(CAST(((CAST(s.sh AS HUGEINT) % 4294967296) * p.a
+                     + ((CAST(s.sh AS HUGEINT) // 4294967296) * p.a) % 4294967296 * 4294967296
+                     + p.b) % {P64} AS UBIGINT)) AS v
+          FROM sh s CROSS JOIN perm p
+          GROUP BY s.doc_id, p.p, p.band, p.jj, p.m
+        ),
+        folded AS (
+          SELECT doc_id, band,
+                 bit_xor(CAST(((CAST(v AS HUGEINT) % 4294967296) * m
+                         + ((CAST(v AS HUGEINT) // 4294967296) * m) % 4294967296 * 4294967296
+                         + jj) % {P64} AS UBIGINT)) AS f
+          FROM sig GROUP BY doc_id, band
+        ),
+        bh AS (SELECT doc_id, band, CAST(f >> 1 AS BIGINT) AS band_hash FROM folded),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS key_a, y.doc_id AS key_b
+          FROM bh x JOIN bh y ON x.band = y.band AND x.band_hash = y.band_hash
+                             AND x.doc_id < y.doc_id
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.key_a, c.key_b, count(*) AS ni
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.key_a
+          JOIN sh sb ON sb.doc_id = c.key_b AND sb.sh = sa.sh
+          GROUP BY c.key_a, c.key_b
+        )
+        SELECT c.key_a, c.key_b
+        FROM cand c
+        JOIN inter i USING (key_a, key_b)
+        JOIN cnt ca ON ca.doc_id = c.key_a
+        JOIN cnt cb ON cb.doc_id = c.key_b
+        WHERE i.ni * 1.0 / (ca.n + cb.n - i.ni) >= {threshold!r}
+    """
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """SimHash near-dup candidates in DuckDB SQL, bit-for-bit the
+    engine (stages/dedup.simhash_batch / simhash_candidates): per-word
+    64-bit hash = crc32(word, seed=0xABCD) << 32 | crc32(word) (a
+    seeded zlib.crc32 is the same table loop started from
+    seed ^ 0xFFFFFFFF); per-bit majority vote over word OCCURRENCES
+    (2*ones > n_words); pigeonhole blocking on the 4 16-bit quarters;
+    hamming via bit_count(xor) <= max_hamming."""
+    crct = ",".join(map(str, _crc32_table()))
+    crc_seeded = _CRC_EXPR.replace("4294967295,", str(0xABCD ^ 0xFFFFFFFF) + ",", 1)
+    return f"""
+        WITH crct(tbl) AS (SELECT [{crct}]),
+        words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+        tok AS (SELECT doc_id, unnest(ws) AS word FROM words),
+        uw AS (SELECT DISTINCT word FROM tok),
+        wh AS (
+          SELECT word,
+                 CAST({crc_seeded.format(w='word')} AS UBIGINT) * 4294967296
+               + CAST({_CRC_EXPR.format(w='word')} AS UBIGINT) AS h64
+          FROM uw CROSS JOIN crct
+        ),
+        occ AS (SELECT t.doc_id, w.h64 FROM tok t JOIN wh w USING (word)),
+        nw AS (SELECT doc_id, count(*) AS n FROM occ GROUP BY doc_id),
+        bits(i) AS (SELECT * FROM range(0, 64)),
+        ones AS (
+          SELECT o.doc_id, b.i, sum(CASE WHEN (o.h64 >> b.i) & 1 = 1 THEN 1 ELSE 0 END) AS ones
+          FROM occ o CROSS JOIN bits b GROUP BY o.doc_id, b.i
+        ),
+        sim AS (
+          SELECT o.doc_id,
+                 bit_or(CASE WHEN 2 * o.ones > nw.n
+                        THEN CAST(1 AS UBIGINT) << o.i ELSE CAST(0 AS UBIGINT) END) AS sh
+          FROM ones o JOIN nw USING (doc_id) GROUP BY o.doc_id
+        ),
+        part AS (SELECT doc_id, sh, unnest([0,1,2,3]) AS b FROM sim),
+        pv AS (SELECT doc_id, sh, b, CAST((sh >> (16 * b)) & 65535 AS BIGINT) AS v FROM part)
+        SELECT DISTINCT x.doc_id AS key_a, y.doc_id AS key_b,
+               CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+        FROM pv x JOIN pv y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.sh, y.sh)) <= {max_hamming}
     """
 
 
@@ -691,6 +846,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_distinct": _hll_sql(),
         "embed_near_dup": _embed_near_dup_sql(),
+        "dedup_minhash": _minhash_sql(),
+        "dedup_simhash": _simhash_sql(),
         # reference tests/test_generate.py point_hash goldens: the 8
         # stored (z, row, col) tiles + the run counters
         "generate_point_hash": """

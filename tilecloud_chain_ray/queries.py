@@ -605,12 +605,19 @@ def q_sessionize(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
+    """MinHash+LSH near-dup pairs, SQL-exact: the oracle reproduces the
+    whole chain in DuckDB (crc32 via list_reduce over the standard
+    table, wraparound multiply-xor shingles, the 64 seeded
+    permutations, band folds, bucket pairs, exact-Jaccard verify)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = dedup_mod.minhash_dedup_pairs(docs, threshold=0.8)
     return pairs.select_columns(["key_a", "key_b"])
 
 
 def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
+    """SimHash candidates, SQL-exact: the oracle reproduces the seeded
+    crc32 word hashes, per-bit majority votes, quarter blocking and
+    bit_count hamming in DuckDB."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return dedup_mod.simhash_candidates(docs, max_hamming=3).select_columns(
         ["key_a", "key_b", "hamming"]
