@@ -113,8 +113,24 @@ def tiles_with_pixels(pixel_counts: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def _default_buckets() -> int:
+    """Assembly-shuffle salt sized to the cluster: ~1 bucket per core
+    (floor 32).  Measured at a 341-tile sf0.1 output on 32 cpus:
+    256 fixed buckets = 1.5-2.2 s, 32 = 0.7-0.95 s — the groupby +
+    repartition + render chain pays per bucket, so dead width doubles
+    the leg; on a multi-node cluster cluster_resources() scales the
+    salt with total cores."""
+    try:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 32))
+    except Exception:  # pragma: no cover - no cluster yet
+        cpus = 32
+    return max(32, cpus)
+
+
 def assemble_and_render_tiles(
-    partials: ray.data.Dataset, layer: Layer, n_buckets: int = 256
+    partials: ray.data.Dataset, layer: Layer, n_buckets: int | None = None
 ) -> ray.data.Dataset:
     """Pixel partial rows -> rendered tile rows.
 
@@ -129,6 +145,8 @@ def assemble_and_render_tiles(
     from tilecloud_chain_ray.functions.png import encode_png
     from tilecloud_chain_ray.stages.render import layer_color, render_density_image
 
+    if n_buckets is None:
+        n_buckets = _default_buckets()
     ts = layer.grid.tile_size
     color = layer_color(layer.name)
 
@@ -260,7 +278,7 @@ def density_pyramid(
     out_parquet: str | None = None,
     concurrency: int | tuple[int, int] = (1, 4),
     with_summary: bool = True,
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
 ):
     """Full density pyramid for the given zooms (finest first not
     required).  Returns (tiles_dataset, summary_dict).
