@@ -176,7 +176,9 @@ def scaling_workload(num_cpus: int) -> dict:
     )
 
     t0 = time.perf_counter()
-    pages = ray.data.read_parquet(SCALING_DIR, columns=["url", "text"])
+    from tilecloud_chain_ray.util import read_parquet_clean
+
+    pages = read_parquet_clean(SCALING_DIR, columns=["url", "text"])
     geocoded = pages.map_batches(
         make_geocoder(WEBMERC.bbox, key_column="url", cell_res=14),
         batch_format="pyarrow",

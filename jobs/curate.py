@@ -82,7 +82,9 @@ def main() -> None:
     path = args.in_dir
     if os.path.isdir(path) and os.path.exists(os.path.join(path, "documents.parquet")):
         path = os.path.join(path, "documents.parquet")
-    docs = ray.data.read_parquet(path, columns=["doc_id", "lang", "text"])
+    from tilecloud_chain_ray.util import read_parquet_clean
+
+    docs = read_parquet_clean(path, columns=["doc_id", "lang", "text"])
 
     bench = None
     if args.decontam_max_key is not None:

@@ -38,6 +38,7 @@ from tilecloud_chain_ray.stages.curation import (
     repetition_fraction_batch,
 )
 from tilecloud_chain_ray.stages.text import quality_score_batch, token_count_batch
+from tilecloud_chain_ray.util import read_parquet_clean
 
 
 @dataclasses.dataclass
@@ -148,7 +149,7 @@ def curate_corpus(
         survivors.write_parquet(out_dir, partition_cols=[group_col])
         # read the committed partitions back so downstream stages (and
         # the shard packer) don't re-run the whole chain
-        survivors = ray.data.read_parquet(out_dir)
+        survivors = read_parquet_clean(out_dir)
     elif shard_budget is not None:
         # no write target: pin the survivor blocks once so the shard
         # packer and the caller's consumption don't each re-execute the

@@ -52,6 +52,7 @@ from tilecloud_chain_ray.pipelines.curate import (
 )
 from tilecloud_chain_ray.sinks import lineage as lin
 from tilecloud_chain_ray.stages.curation import contaminated_mask, hash_sample_mask
+from tilecloud_chain_ray.util import read_parquet_clean
 
 
 def _phase1_shard(
@@ -206,14 +207,14 @@ def curate_resumable(
         for f in sorted(os.listdir(partials_dir))
         if f.startswith("filtered_") and f.endswith(".parquet")
     ]
-    partials = ray.data.read_parquet(part_files)
+    partials = read_parquet_clean(part_files)
     survivors = partials.groupby("_bucket").map_groups(
         make_dedup_bucket(key_col), batch_format="pandas"
     )
     corpus_dir = os.path.join(out_dir, "corpus")
     shutil.rmtree(corpus_dir, ignore_errors=True)  # append-on-rewrite guard
     survivors.write_parquet(corpus_dir, partition_cols=[group_col])
-    survivors = ray.data.read_parquet(corpus_dir)
+    survivors = read_parquet_clean(corpus_dir)
 
     shards_ds = None
     if shard_budget is not None:

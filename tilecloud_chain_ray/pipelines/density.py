@@ -29,6 +29,7 @@ from tilecloud_chain_ray.stages.hashdrop import (
     make_hash_dropper,
 )
 from tilecloud_chain_ray.stages.render import DensityRenderer
+from tilecloud_chain_ray.util import read_parquet_clean
 
 
 def cell_counts(
@@ -352,6 +353,6 @@ def density_pyramid(
         tiles = tiles.map_batches(write_fn, batch_format="pyarrow")
     if out_parquet is not None:
         tiles.write_parquet(out_parquet, partition_cols=["z"])
-        tiles = ray.data.read_parquet(out_parquet)
+        tiles = read_parquet_clean(out_parquet)
     summary = summarize(tiles, layer.meta_size, meta=False) if with_summary else {}
     return GenerateResult(tiles=tiles, summary=summary)

@@ -187,9 +187,9 @@ def density_resumable(
         finalize_tiles,
         make_hash_dropper,
     )
-    from tilecloud_chain_ray.util import process_cached
+    from tilecloud_chain_ray.util import process_cached, read_parquet_clean
 
-    partials = ray.data.read_parquet(
+    partials = read_parquet_clean(
         [
             os.path.join(partials_dir, f)
             for f in sorted(os.listdir(partials_dir))

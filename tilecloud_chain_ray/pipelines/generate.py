@@ -33,6 +33,7 @@ from tilecloud_chain_ray.stages.hashdrop import (
 )
 from tilecloud_chain_ray.stages.render import GeometryRenderer
 from tilecloud_chain_ray.stages.split import MetatileSplitter
+from tilecloud_chain_ray.util import read_parquet_clean
 
 
 def add_dimensions(ds: ray.data.Dataset, layer: Layer) -> ray.data.Dataset:
@@ -242,7 +243,7 @@ def generate_tiles(
     if out_parquet is not None:
         # consume: write the tile table (drops nothing; statuses kept for lineage)
         tiles.write_parquet(out_parquet, partition_cols=["z"])
-        tiles = ray.data.read_parquet(out_parquet)
+        tiles = read_parquet_clean(out_parquet)
 
     summary = (
         summarize(tiles, layer.meta_size, layer.meta) if with_summary else {}

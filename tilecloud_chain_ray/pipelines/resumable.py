@@ -38,6 +38,7 @@ from tilecloud_chain_ray.stages.hashdrop import (
 )
 from tilecloud_chain_ray.stages.render import GeometryRenderer
 from tilecloud_chain_ray.stages.split import MetatileSplitter
+from tilecloud_chain_ray.util import read_parquet_clean
 
 
 def plan_partitions(
@@ -174,4 +175,4 @@ def generate_resumable(
 
 
 def read_tiles(out_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(out_dir)
+    return read_parquet_clean(out_dir)

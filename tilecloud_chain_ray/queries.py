@@ -34,7 +34,7 @@ from tilecloud_chain_ray.stages.text import (
     quality_score_batch,
     token_count_batch,
 )
-
+from tilecloud_chain_ray.util import read_parquet_clean
 BBOX = SWISSGRID_5.bbox  # (420000, 30000, 900000, 350000)
 MID_X = 660000.0  # = bbox x at ux = 2^31 (exact)
 NORTH_Y = 190000.0  # = bbox y at uy = 2^31 (exact)
@@ -52,7 +52,7 @@ PIP_LAYERS = [
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
 def _docs_micro(batch: pa.Table) -> pa.Table:
@@ -109,7 +109,7 @@ def q_tile_counts_per_zoom(sf_dir: str) -> pa.Table:
     def per_zoom_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         g = df.groupby(["z", "tx", "ty"]).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     from tilecloud_chain_ray.util import narrow_partials
 
@@ -177,7 +177,7 @@ def q_cell_counts_r8(sf_dir: str) -> ray.data.Dataset:
         cy = (uy >> np.uint64(24)).astype(np.int64)
         df = pd.DataFrame({"cell_x": cx, "cell_y": cy})
         g = df.groupby(["cell_x", "cell_y"]).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     from tilecloud_chain_ray.util import narrow_partials
 
@@ -449,7 +449,7 @@ def q_orders_topk(sf_dir: str) -> ray.data.Dataset:
             .groupby("o_orderpriority", as_index=False)
             .head(5)
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(5)
@@ -535,7 +535,7 @@ def q_dimension_cross(sf_dir: str) -> ray.data.Dataset:
         tx, ty = micro_tile(ux, uy, w, h)
         df = pd.DataFrame({"tx": np.repeat(tx, 3), "ty": np.repeat(ty, 3), "date": list(dates) * len(ids)})
         g = df.groupby("date").size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partials = _read(sf_dir, "documents", ["doc_id"]).map_batches(cross, batch_format="pyarrow")
     return partials.groupby("date").aggregate(Sum("n", alias_name="n"))
@@ -556,7 +556,7 @@ def q_tile_union_area_z2(sf_dir: str) -> pa.Table:
         ux, uy = micro_from_ids(ids)
         tx, ty = micro_tile(ux, uy, w, h)
         df = pd.DataFrame({"tx": tx, "ty": ty}).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     distinct = (
         docs.map_batches(tiles, batch_format="pyarrow")
@@ -759,7 +759,7 @@ def q_density_tiles(sf_dir: str) -> ray.data.Dataset:
                 pa.Table.from_pandas(
                     df.groupby(["z", "x", "y"]).size().reset_index(name="n"),
                     preserve_index=False,
-                )
+                ).replace_schema_metadata(None)
             )
         return pa.concat_tables(parts)
 
@@ -1171,7 +1171,7 @@ def q_user_event_pivot(sf_dir: str) -> ray.data.Dataset:
                 ct[t] = 0
         ct = ct[list(EVENT_TYPES)].astype(np.int64)
         ct.columns = [f"n_{t}" for t in EVENT_TYPES]
-        return pa.Table.from_pandas(ct.reset_index(), preserve_index=False)
+        return pa.Table.from_pandas(ct.reset_index(), preserve_index=False).replace_schema_metadata(None)
 
     aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES]
     return (
@@ -1196,7 +1196,7 @@ def q_lang_source_rollup(sf_dir: str) -> ray.data.Dataset:
         lvl2 = pd.DataFrame({"lang": [None], "source": [None], "n": [df["n"].sum()]})
         out = pd.concat([df, lvl1[["lang", "source", "n"]], lvl2])
         out["n"] = out["n"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     # the fine table is (langs x sources) rows — tiny by construction;
     # coalesce to one block so the rollup levels are computed once

@@ -15,7 +15,7 @@ from datetime import datetime, timezone
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
-
+from tilecloud_chain_ray.util import read_parquet_clean
 PAGES_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -128,4 +128,4 @@ def synthesize_pages(
 def read_pages(path: str, columns: list[str] | None = None):
     import ray
 
-    return ray.data.read_parquet(path, columns=columns)
+    return read_parquet_clean(path, columns=columns)

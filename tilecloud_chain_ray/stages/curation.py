@@ -74,7 +74,7 @@ def vocab_topk(
     def block_topk(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df = df.sort_values(["n", "token"], ascending=[False, True]).head(k)
-        out = pa.Table.from_pandas(df, preserve_index=False)
+        out = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
         return out.append_column("_g", pa.array(np.zeros(len(out), dtype=np.int64)))
 
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
@@ -161,7 +161,7 @@ def grouped_quantiles(
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select([group_col, value_col]).to_pandas()
         g = df.groupby([group_col, value_col], sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     hist = (
         ds.map_batches(partial, batch_format="pyarrow")

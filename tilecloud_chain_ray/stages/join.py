@@ -234,7 +234,7 @@ def _skew_join(
         rhs = process_cached(("skew_join_rhs", hot_ref.hex()), lambda: ray.get(hot_ref))
         lhs = batch.to_pandas().rename(columns=lmap)
         merged = lhs.merge(rhs, on=on, how=how)
-        return align(pa.Table.from_pandas(merged[out_cols], preserve_index=False))
+        return align(pa.Table.from_pandas(merged[out_cols], preserve_index=False).replace_schema_metadata(None))
 
     hot_joined = split(left, True).map_batches(map_side, batch_format="pyarrow")
     cold_joined = hash_join(

@@ -59,7 +59,7 @@ def bucket_partials(
             }
         )
         out = df.groupby(["g", "bucket"], sort=False)["w"].sum().reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

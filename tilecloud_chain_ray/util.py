@@ -52,3 +52,73 @@ def narrow_partials(ds, blocks: int | None = None):
             cpus = 16
         blocks = max(8, cpus // 2)
     return ds.repartition(blocks, shuffle=False)
+
+
+def strip_schema_metadata(batch):
+    """Drop Arrow schema-level metadata (zero-copy: new schema object,
+    same buffers).
+
+    Parquet files written by pandas/pyarrow carry a ``b"pandas"``
+    schema-metadata dict; a ``pyarrow.Schema`` with non-empty metadata
+    is UNHASHABLE (``hash(schema)`` raises ``unhashable type: 'dict'``),
+    which silently defeats Ray Data's per-reduce-task schema
+    deduplication in every shuffle the blocks flow through
+    (``transform_pyarrow.unify_schemas`` falls back to the expensive
+    unify path and logs a warning per reduce task).  Stripping at the
+    read boundary keeps every downstream block hashable.
+    """
+    if batch.schema.metadata:
+        return batch.replace_schema_metadata(None)
+    return batch
+
+
+def _stripped_read_schema(paths, columns):
+    """Metadata-free read schema from the first parquet file, or None
+    when it can't be derived safely (hive-partitioned directory — the
+    partition columns aren't in the file schema — or a requested
+    column missing from the file)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = paths[0] if isinstance(paths, (list, tuple)) and paths else paths
+    if not isinstance(p, str):
+        return None
+    if os.path.isdir(p):
+        names = sorted(os.listdir(p))
+        if any(os.path.isdir(os.path.join(p, n)) for n in names):
+            return None  # partitioned layout
+        parqs = [n for n in names if n.endswith(".parquet")]
+        if not parqs:
+            return None
+        p = os.path.join(p, parqs[0])
+    if not os.path.isfile(p):
+        return None
+    try:
+        schema = pq.read_schema(p).remove_metadata()
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return schema
+    except (OSError, KeyError):
+        return None
+
+
+def read_parquet_clean(paths, **kwargs):
+    """``ray.data.read_parquet`` with hashable (metadata-free) block
+    schemas; see :func:`strip_schema_metadata`.
+
+    Passes an explicit stripped ``schema=`` when one can be derived
+    from the first file (kills the slow unify + warning *inside* the
+    read tasks too), and always appends the zero-copy strip stage as a
+    catch-all for partitioned layouts where the schema can't be
+    pre-computed."""
+    import ray
+
+    if "schema" not in kwargs:
+        schema = _stripped_read_schema(paths, kwargs.get("columns"))
+        if schema is not None:
+            kwargs["schema"] = schema
+    return ray.data.read_parquet(paths, **kwargs).map_batches(
+        strip_schema_metadata, batch_format="pyarrow"
+    )
