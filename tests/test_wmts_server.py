@@ -378,6 +378,38 @@ def test_feature_info_proxy(pyramid):
     assert resp.status == 400 and "not queryable" in resp.message
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_conditional_get_etag(pyramid):
+    """Extension beyond the reference: strong content ETag + 304 on
+    If-None-Match (the reference server sends only Expires/Cache-
+    Control, ``server.py:501-505``)."""
+    import hashlib
+
+    srv = WmtsServer(LAYERS, pyramid)
+    path = "1.0.0/point_hash/default/swissgrid_5/3/58/70.png"
+    ok = srv.handle(path)
+    etag = ok.headers["ETag"]
+    assert etag == f'"{hashlib.sha1(ok.data).hexdigest()}"'
+    # matching If-None-Match -> 304, no body, cache headers preserved
+    not_mod = srv.handle(path, if_none_match=etag)
+    assert not_mod.status == 304 and not_mod.data is None
+    assert not_mod.headers["ETag"] == etag and "Cache-Control" in not_mod.headers
+    # multi-value and wildcard match
+    assert srv.handle(path, if_none_match=f'"stale", {etag}').status == 304
+    assert srv.handle(path, if_none_match="*").status == 304
+    # non-matching -> 200 with full body
+    miss = srv.handle(path, if_none_match='"deadbeef"')
+    assert miss.status == 200 and miss.data == ok.data
+    # 204/4xx never carry an ETag
+    empty = srv.handle("1.0.0/point_hash/default/swissgrid_5/3/0/0.png")
+    assert empty.status == 204 and not (empty.headers or {}).get("ETag")
+    # capabilities (any 200 body) is conditional too
+    cap = srv.handle("1.0.0/WMTSCapabilities.xml")
+    assert srv.handle(
+        "1.0.0/WMTSCapabilities.xml", if_none_match=cap.headers["ETag"]
+    ).status == 304
+
+
 def test_serve_wmts_http(pyramid):
     httpd = serve_wmts(WmtsServer(LAYERS, pyramid))
     base = f"http://127.0.0.1:{httpd.server_address[1]}"
@@ -393,6 +425,21 @@ def test_serve_wmts_http(pyramid):
             assert resp.status == 200
         with urllib.request.urlopen(f"{base}/1.0.0/WMTSCapabilities.xml") as resp:
             assert resp.status == 200 and b"<Capabilities" in resp.read()
+        # conditional GET over real HTTP: ETag -> 304 with empty body
+        with urllib.request.urlopen(
+            f"{base}/1.0.0/point_hash/default/swissgrid_5/3/58/70.png"
+        ) as resp:
+            etag = resp.headers["ETag"]
+        req = urllib.request.Request(
+            f"{base}/1.0.0/point_hash/default/swissgrid_5/3/58/70.png",
+            headers={"If-None-Match": etag},
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 304")
+        except urllib.error.HTTPError as err:
+            assert err.code == 304
+            assert err.read() == b""
         try:
             urllib.request.urlopen(f"{base}/1.0.0/nope/default/swissgrid_5/3/0/0.png")
             raise AssertionError("expected 400")

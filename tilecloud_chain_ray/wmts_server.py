@@ -492,9 +492,24 @@ class WmtsServer:
 
     # -- entry point --
 
-    def handle(self, path: str, query: dict[str, str] | str | None = None) -> TileResponse:
+    def handle(
+        self,
+        path: str,
+        query: dict[str, str] | str | None = None,
+        *,
+        if_none_match: str | None = None,
+    ) -> TileResponse:
         """Serve one request; ``path`` is the URL path (REST) and
-        ``query`` the KVP parameters (used when ``path`` is empty)."""
+        ``query`` the KVP parameters (used when ``path`` is empty).
+
+        ``if_none_match``: the request's ``If-None-Match`` header.
+        Conditional GET is an extension beyond the reference (its
+        FastAPI server sends only Expires/Cache-Control,
+        ``server.py:501-505``): every 200 body gets a strong
+        content-addressed ``ETag`` (sha1 of the bytes — the same hash
+        the empty-tile drop uses), and a matching ``If-None-Match``
+        short-circuits to ``304 Not Modified`` with the cache headers
+        preserved."""
         if isinstance(query, str):
             query = dict(urllib.parse.parse_qsl(query))
         try:
@@ -502,9 +517,22 @@ class WmtsServer:
                 parsed = parse_kvp(query, self.layers)
             else:
                 parsed = parse_rest(path, self.layers)
-            return self._dispatch(parsed)
+            resp = self._dispatch(parsed)
         except WmtsError as exc:
             return TileResponse(exc.status, message=exc.message)
+        return self._conditional(resp, if_none_match)
+
+    @staticmethod
+    def _conditional(resp: TileResponse, if_none_match: str | None) -> TileResponse:
+        if resp.status != 200 or resp.data is None:
+            return resp
+        etag = f'"{hashlib.sha1(resp.data).hexdigest()}"'
+        resp.headers = {**(resp.headers or {}), "ETag": etag}
+        if if_none_match is not None:
+            candidates = {v.strip() for v in if_none_match.split(",")}
+            if etag in candidates or "*" in candidates:
+                return TileResponse(304, headers=resp.headers)
+        return resp
 
     def _dispatch(self, parsed: ParsedRequest) -> TileResponse:
         if parsed.request == "GetCapabilities":
@@ -696,9 +724,13 @@ def serve_wmts(server: WmtsServer, host: str = "127.0.0.1", port: int = 0):
         def do_GET(self):
             parts = urllib.parse.urlsplit(self.path)
             resp = server.handle(
-                urllib.parse.unquote(parts.path), parts.query or None
+                urllib.parse.unquote(parts.path),
+                parts.query or None,
+                if_none_match=self.headers.get("If-None-Match"),
             )
             body = resp.data if resp.data is not None else (resp.message or "").encode()
+            if resp.status == 304:
+                body = b""  # a 304 carries no body by RFC 9110
             self.send_response(resp.status)
             if resp.content_type:
                 self.send_header("Content-Type", resp.content_type)
