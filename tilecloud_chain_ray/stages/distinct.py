@@ -55,17 +55,44 @@ def grouped_distinct_counts(
         # single packed shuffle key (g * n_buckets + b): Ray's sort-based
         # groupby is measurably faster on one int64 column than on two
         gb = g * n_buckets + bucket
-        df = pd.DataFrame({"gb": gb, "k": k})
-        rows_gb, rows_keys, rows_n = [], [], []
-        for gbv, sub in df.groupby("gb", sort=False):
-            uniq = np.unique(sub["k"].to_numpy())
-            rows_gb.append(gbv)
-            rows_keys.append(uniq)
-            rows_n.append(len(sub))
+        # fully vectorized: one lexsort orders by (gb, k); consecutive
+        # deduplication yields the per-cell sorted-unique key arrays,
+        # wrapped as a ListArray over the values buffer (no Python loop
+        # over the up-to n_groups x n_buckets cells, no tolist copies)
+        order = np.lexsort((k, gb))
+        gs, ks = gb[order], k[order]
+        n = len(gs)
+        if n == 0:
+            return pa.Table.from_pydict(
+                {
+                    "gb": pa.array([], pa.int64()),
+                    "keys": pa.array([], pa.list_(pa.int64())),
+                    "rows": pa.array([], pa.int64()),
+                }
+            )
+        pair_new = np.empty(n, dtype=bool)
+        pair_new[0] = True
+        pair_new[1:] = (gs[1:] != gs[:-1]) | (ks[1:] != ks[:-1])
+        uniq_gb = gs[pair_new]
+        uniq_k = ks[pair_new]
+        cell_new = np.empty(len(uniq_gb), dtype=bool)
+        cell_new[0] = True
+        cell_new[1:] = uniq_gb[1:] != uniq_gb[:-1]
+        cell_starts = np.flatnonzero(cell_new)
+        offsets = np.append(cell_starts, len(uniq_k)).astype(np.int32)
+        rows_gb = uniq_gb[cell_starts]
+        # total input rows per cell: run lengths over the sorted gb
+        gb_starts = np.flatnonzero(
+            np.concatenate(([True], gs[1:] != gs[:-1]))
+        )
+        rows_n = np.diff(np.append(gb_starts, n))
+        keys_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(uniq_k, pa.int64())
+        )
         return pa.Table.from_pydict(
             {
                 "gb": pa.array(rows_gb, pa.int64()),
-                "keys": pa.array([a.tolist() for a in rows_keys], pa.list_(pa.int64())),
+                "keys": keys_arr,
                 "rows": pa.array(rows_n, pa.int64()),
             }
         )
