@@ -345,8 +345,11 @@ def load_config(
     caches = {}
     for name, c in (doc.get("caches") or {}).items():
         # filesystem: WMTS layout under folder; mbtiles: single-file
-        # sqlite store(s) under folder (sinks/mbtiles.write_mbtiles)
-        if c.get("type") in ("filesystem", "mbtiles") and "folder" in c:
+        # sqlite store(s) under folder (sinks/mbtiles.write_mbtiles);
+        # bsddb: single-file KV store(s) under folder — reproduced
+        # from scratch (sinks/kvfile.write_kvfile; reference
+        # __init__.py:1402-1430)
+        if c.get("type") in ("filesystem", "mbtiles", "bsddb") and "folder" in c:
             caches[name] = c["folder"]
         else:
             warns.append(f"cache {name}: type {c.get('type')} not a local folder — skipped")
