@@ -447,3 +447,29 @@ def test_serve_wmts_http(pyramid):
             assert err.code == 400
     finally:
         httpd.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wmts_writer_uri_filesystem(pyramid, tmp_path):
+    """URI cache roots (the s3/azure analog) write byte-identical trees
+    through pyarrow.fs — exercised with file:// (same calls as s3://)."""
+    import glob
+    import os
+
+    from tilecloud_chain_ray.pipelines.generate import generate_tiles
+
+    out = str(tmp_path / "fs_tiles")
+    layer = make_layer()
+    generate_tiles(
+        layer, out_wmts=f"file://{out}", concurrency=2, with_summary=False
+    ).tiles.count()
+
+    def tree(root):
+        return {
+            os.path.relpath(p, root): open(p, "rb").read()
+            for p in glob.glob(os.path.join(root, "**", "*.png"), recursive=True)
+        }
+
+    got, expected = tree(out), tree(pyramid)
+    assert got.keys() == expected.keys() and len(got) == 8
+    assert all(got[k] == expected[k] for k in got)

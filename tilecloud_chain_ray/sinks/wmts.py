@@ -42,14 +42,39 @@ def tile_path(
     return os.path.join(*parts)
 
 
+def resolve_fs(root: str):
+    """Resolve a cache root to ``(filesystem, base_path)``.
+
+    A plain path stays on the fast ``os`` write path (None, path); a
+    URI (``file://``, ``s3://``, ``gs://``, ``hdfs://`` — everything
+    ``pyarrow.fs.FileSystem.from_uri`` speaks) goes through pyarrow's
+    filesystem layer.  This is how the reference's ``s3`` / ``azure``
+    cache types (``__init__.py:1366-1383``) map onto this engine: one
+    URI-driven object-store sink instead of per-vendor store classes.
+    (No network in this sandbox — the URI path is exercised with
+    ``file://`` in tests; ``s3://`` uses the identical calls.)
+    """
+    if "://" not in root:
+        return None, root
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(root)
+
+
 class WmtsWriter:
     """Actor stage: writes stored rows to the WMTS layout, passes rows on
-    (with payload intact so downstream parquet sinks still see it)."""
+    (with payload intact so downstream parquet sinks still see it).
 
-    def __init__(self, layer: Layer, root: str) -> None:
+    ``cache_control`` mirrors the reference S3/Azure stores' per-object
+    Cache-Control metadata; it is attached via the filesystem's
+    key-value metadata on URI roots and ignored on plain paths."""
+
+    def __init__(self, layer: Layer, root: str, cache_control: str | None = None) -> None:
         self.layer = layer
-        self.root = root
+        self.fs, self.root = resolve_fs(root)
         self.dim_names = [d.name for d in layer.dimensions]
+        self.cache_control = cache_control
+        self._made_dirs: set[str] = set()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         statuses = batch["status"].to_pylist()
@@ -71,11 +96,26 @@ class WmtsWriter:
                 for j, col in enumerate(dim_cols)
             )
             path = tile_path(self.root, self.layer, int(z[i]), int(x[i]), int(y[i]), dims)
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as fh:
-                fh.write(data[i].as_py())
-            os.replace(tmp, path)  # atomic publish
+            payload = data[i].as_py()
+            if self.fs is None:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as fh:
+                    fh.write(payload)
+                os.replace(tmp, path)  # atomic publish
+            else:
+                # object-store put is atomic last-write-wins already
+                # (reference S3 store does a straight put_object); local
+                # pyarrow filesystems need the parent dirs
+                parent = path.rsplit("/", 1)[0]
+                if parent not in self._made_dirs:
+                    self.fs.create_dir(parent, recursive=True)
+                    self._made_dirs.add(parent)
+                metadata = (
+                    {"Cache-Control": self.cache_control} if self.cache_control else None
+                )
+                with self.fs.open_output_stream(path, metadata=metadata) as out:
+                    out.write(payload)
         return batch
 
 
