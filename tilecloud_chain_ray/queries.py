@@ -952,12 +952,43 @@ def q_media_pipeline(sf_dir: str) -> pa.Table:
         rows["mean_intensity_rounded"].append(
             round(float(np.array(tbl["mean_intensity"]).mean()), 2)
         )
+    # audio/video demux legs (functions/mp3.py, mp4.py): metadata decode
+    # + frame-accurate sampling of REAL container payloads
+    from tilecloud_chain_ray.stages.multimodal import FrameSampler
+
+    for codec, kind in (("mp3", "audio"), ("mp4", "video")):
+        media = ray.data.from_arrow(synthesize_media(64, kind=kind, codec=codec))
+        decoded = media.map_batches(
+            MediaDecoder, fn_constructor_kwargs={"codec": codec},
+            batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
+        )
+        tbl = pa.concat_tables(decoded.iter_batches(batch_size=None, batch_format="pyarrow"))
+        sampled = media.map_batches(
+            FrameSampler, fn_constructor_kwargs={"n_frames": 4, "container": codec},
+            batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
+        )
+        n_sampled = sampled.count()
+        rows["codec"].append(codec)
+        rows["n_media"].append(tbl.num_rows)
+        # demux duration matches the synthesized metadata on every row
+        rows["all_resized_16"].append(
+            bool(
+                (
+                    np.array(tbl["duration_ms"])
+                    == np.array(tbl["meta_duration_ms"], dtype=np.int64)
+                ).all()
+                and n_sampled == 64 * 4
+            )
+        )
+        rows["mean_intensity_rounded"].append(
+            round(float(np.array(tbl["duration_ms"]).mean()), 2)
+        )
     return pa.Table.from_pydict(
         {
             "codec": pa.array(rows["codec"], pa.string()),
             "n_media": pa.array(rows["n_media"], pa.int64()),
-            "all_resized_16": pa.array(rows["all_resized_16"], pa.bool_()),
-            "mean_intensity_rounded": pa.array(rows["mean_intensity_rounded"], pa.float64()),
+            "invariant_ok": pa.array(rows["all_resized_16"], pa.bool_()),
+            "feature_mean": pa.array(rows["mean_intensity_rounded"], pa.float64()),
         }
     )
 
