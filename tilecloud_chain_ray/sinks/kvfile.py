@@ -181,8 +181,8 @@ class KVFileStore:
     """Tile-store facade over :class:`KVFile` — same surface as
     :class:`~tilecloud_chain_ray.sinks.mbtiles.MBTilesStore` so the two
     single-file cache types are drop-in swaps.  Tile key = ``z/x/y``
-    ASCII (the coordinate format of ``coords.format_tilecoord``);
-    metadata lives under a reserved non-ASCII key prefix."""
+    ASCII (the ``coords.parse_tilecoord`` text format); metadata lives
+    under a reserved non-ASCII key prefix."""
 
     def __init__(self, path: str, read_only: bool = False) -> None:
         self.path = path
