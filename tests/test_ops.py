@@ -219,15 +219,17 @@ def test_multimodal_stages():
     assert frames.num_rows == 60
     assert frames["frame_ts_ms"].to_numpy().max() <= media["meta_duration_ms"].to_numpy().max()
 
+    # mp3/mp4 demux + metadata decode are real (functions/mp3.py, mp4.py);
+    # only the codec-proper steps remain stubbed behind explicit flags
     with pytest.raises(NotImplementedError):
-        MediaDecoder("mp3")
+        MediaDecoder("mp3", to_pcm=True)
+    with pytest.raises(NotImplementedError):
+        MediaDecoder("mp4", to_pixels=True)
 
 
 def test_media_decoder_rejects_unknown_codec_message():
-    try:
-        MediaDecoder("png")
-    except NotImplementedError as e:
-        assert "PIL" in str(e)
+    with pytest.raises(NotImplementedError, match="codec"):
+        MediaDecoder("webm")
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -27,8 +27,15 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(rgba: np.ndarray) -> bytes:
-    """(h, w, 4) uint8 -> PNG bytes (color type 6, bit depth 8)."""
+def encode_png(rgba: np.ndarray, level: int = 6) -> bytes:
+    """(h, w, 4) uint8 -> PNG bytes (color type 6, bit depth 8).
+
+    ``level`` is the zlib level.  The default (6) is what hash-pinned
+    configs (``empty_tile_detection``) were computed against — keep it
+    for any path a user may pin; throughput-bound paths whose tiles are
+    never hash-pinned (density rendering) pass a lower level (measured
+    on dense 256px tiles: level 3 = 2.3x faster for +6.5% bytes).
+    """
     if rgba.dtype != np.uint8 or rgba.ndim != 3 or rgba.shape[2] != 4:
         raise ValueError("expected (h, w, 4) uint8")
     h, w = rgba.shape[:2]
@@ -37,7 +44,7 @@ def encode_png(rgba: np.ndarray) -> bytes:
     raw = np.empty((h, w * 4 + 1), dtype=np.uint8)
     raw[:, 0] = 0
     raw[:, 1:] = rgba.reshape(h, w * 4)
-    idat = zlib.compress(raw.tobytes(), 6)
+    idat = zlib.compress(raw.tobytes(), level)
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 

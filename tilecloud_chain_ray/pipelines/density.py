@@ -131,7 +131,10 @@ def _default_buckets() -> int:
 
 
 def assemble_and_render_tiles(
-    partials: ray.data.Dataset, layer: Layer, n_buckets: int | None = None
+    partials: ray.data.Dataset,
+    layer: Layer,
+    n_buckets: int | None = None,
+    png_level: int = 3,
 ) -> ray.data.Dataset:
     """Pixel partial rows -> rendered tile rows.
 
@@ -242,7 +245,7 @@ def assemble_and_render_tiles(
             pix = np.frombuffer(pix_col[i], dtype=np.uint16).astype(np.int64)
             pns = np.frombuffer(pns_col[i], dtype=np.int64)
             img = render_density_image(pix >> 8, pix & 255, pns, ts, color)
-            blobs.append(encode_png(img))
+            blobs.append(encode_png(img, level=png_level))
         return pa.Table.from_pydict(
             {
                 "layer": pa.array([layer.name] * len(blobs), pa.string()),
@@ -280,6 +283,8 @@ def density_pyramid(
     concurrency: int | tuple[int, int] = (1, 4),
     with_summary: bool = True,
     n_buckets: int | None = None,
+    png_level: int = 3,
+    partials_batch_size: int = 65536,
 ):
     """Full density pyramid for the given zooms (finest first not
     required).  Returns (tiles_dataset, summary_dict).
@@ -330,11 +335,13 @@ def density_pyramid(
         )
 
     partials = geocoded.map_batches(
-        pixel_partials, batch_format="pyarrow", batch_size=65536
+        pixel_partials, batch_format="pyarrow", batch_size=partials_batch_size
     )
 
-    _, empty_tile = empty_signatures(layer)
-    rendered = assemble_and_render_tiles(partials, layer, n_buckets=n_buckets)
+    _, empty_tile = empty_signatures(layer, png_level=png_level)
+    rendered = assemble_and_render_tiles(
+        partials, layer, n_buckets=n_buckets, png_level=png_level
+    )
     tiles = rendered.map_batches(
         make_hash_dropper(layer.empty_tile or empty_tile, "dropped"),
         batch_format="pyarrow",

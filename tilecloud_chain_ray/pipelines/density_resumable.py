@@ -197,7 +197,7 @@ def density_resumable(
         ]
     )
     rendered = assemble_and_render_tiles(partials, layer, n_buckets=n_buckets)
-    _, empty_tile = empty_signatures(layer)
+    _, empty_tile = empty_signatures(layer, png_level=3)
     tiles = rendered.map_batches(
         make_hash_dropper(layer.empty_tile or empty_tile, "dropped"), batch_format="pyarrow"
     )

@@ -30,20 +30,22 @@ def signature(data: bytes) -> EmptyHash:
 
 
 @lru_cache(maxsize=64)
-def _empty_signature_px(size_px: int) -> EmptyHash:
+def _empty_signature_px(size_px: int, png_level: int = 6) -> EmptyHash:
     """Signature of a geometry-free square render: depends only on the
     pixel size and the constant background — cached (the big metatile
     encode costs ~0.3 s of driver time otherwise)."""
     img = np.empty((size_px, size_px, 4), dtype=np.uint8)
     img[:] = BACKGROUND
-    return signature(encode_png(img))
+    return signature(encode_png(img, level=png_level))
 
 
-def empty_signatures(layer: Layer) -> tuple[EmptyHash, EmptyHash]:
-    """(empty_metatile, empty_tile) signatures for this layer's renderer."""
+def empty_signatures(layer: Layer, png_level: int = 6) -> tuple[EmptyHash, EmptyHash]:
+    """(empty_metatile, empty_tile) signatures for this layer's renderer.
+    ``png_level`` must match the zlib level the render path encodes
+    with, or no tile can ever match the signature."""
     ts = layer.grid.tile_size
     meta_px = layer.meta_size * ts + 2 * layer.meta_buffer if layer.meta else ts
-    return _empty_signature_px(meta_px), _empty_signature_px(ts)
+    return _empty_signature_px(meta_px, png_level), _empty_signature_px(ts, png_level)
 
 
 def make_hash_dropper(empty: EmptyHash | None, level: str):

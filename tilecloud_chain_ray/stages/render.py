@@ -191,10 +191,11 @@ class DensityRenderer:
     ramp in the layer color; zero-count pixels stay background.
     """
 
-    def __init__(self, layer: Layer, log_scale: bool = True) -> None:
+    def __init__(self, layer: Layer, log_scale: bool = True, png_level: int = 3) -> None:
         self.layer = layer
         self.color = layer_color(layer.name)
         self.log_scale = log_scale
+        self.png_level = png_level
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         grid = self.layer.grid
@@ -207,7 +208,7 @@ class DensityRenderer:
             rows = np.asarray(batch["pixel_rows"][i].as_py(), dtype=np.int64) + buffer_px
             counts = np.asarray(batch["pixel_counts"][i].as_py(), dtype=np.float64)
             img = render_density_image(cols, rows, counts, size_px, self.color, self.log_scale)
-            blobs.append(encode_png(img))
+            blobs.append(encode_png(img, level=self.png_level))
         out = batch.drop_columns(["pixel_cols", "pixel_rows", "pixel_counts"])
         out = out.append_column("data", pa.array(blobs, pa.binary()))
         return out.append_column(
