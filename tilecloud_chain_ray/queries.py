@@ -767,6 +767,28 @@ def q_density_tiles(sf_dir: str) -> ray.data.Dataset:
     return partials.groupby(["z", "x", "y"]).aggregate(Sum("n", alias_name="n_points"))
 
 
+def q_vectorize_pixels(sf_dir: str) -> ray.data.Dataset:
+    """Raster -> vector round-trip, SQL-exact: render the density
+    pyramid (z0-4) to real PNG tiles, decode the rasters back to
+    pixel rows (pipelines/vectorize.py), and count non-background
+    pixels per tile.  The oracle computes the same per-tile counts
+    directly from the micro-coordinates, so the driver hash-verifies
+    the full render+decode raster<->vector cycle — encoder, decoder,
+    pixel/cell alignment and polygon-ready pixel extraction."""
+    from tilecloud_chain_ray.config import Layer
+    from tilecloud_chain_ray.grid import WEBMERC
+    from tilecloud_chain_ray.pipelines.density import density_pyramid
+    from tilecloud_chain_ray.pipelines.vectorize import vectorize_tiles
+
+    docs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        make_geocoder(WEBMERC.bbox, "doc_id", cell_res=12), batch_format="pyarrow"
+    )
+    layer = Layer(name="doc_density", grid=WEBMERC, meta=False)
+    result = density_pyramid(docs, layer, zooms=[0, 1, 2, 3, 4], with_summary=False)
+    pixels = vectorize_tiles(result.tiles, with_cells=False)
+    return pixels.groupby(["z", "x", "y"]).aggregate(Count(alias_name="n_pixels"))
+
+
 def q_generate_point_hash(sf_dir: str) -> pa.Table:
     """The reference-parity flagship, now SQL-checkable: the stored
     tile coordinate set (reference tests/test_generate.py point_hash
