@@ -164,7 +164,23 @@ def main() -> None:
             out_wmts=os.path.join(args.out, "wmts"),
         )
         if tiles is not None:
+            # materialize (not count): count() runs a derived plan and
+            # leaves the handle without execution stats
+            tiles = tiles.materialize()
             summary["tiles"] = tiles.count()
+            # per-stage execution metrics, queryable like lineage (A7)
+            from tilecloud_chain_ray.sinks.metrics import (
+                collect_stage_metrics,
+                write_metrics,
+            )
+
+            m = collect_stage_metrics(
+                tiles, job_id=args.job_id or "", pipeline="density_resumable"
+            )
+            if m.num_rows:
+                summary["metrics_file"] = write_metrics(
+                    m, os.path.join(args.out, "metrics")
+                )
         print(json.dumps(summary))
         return
 
