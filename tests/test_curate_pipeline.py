@@ -60,3 +60,28 @@ def test_curate_corpus_no_write_no_shards():
     assert result.shards is None and result.out_dir is None
     surv = result.survivors.to_pandas()
     assert surv["text"].nunique() == len(surv)  # dedup still applies
+
+
+def test_curate_corpus_near_dedup():
+    """Opt-in near-dedup: strictly fewer (or equal) survivors than the
+    exact-only chain, equal to the manual pairs->components->min-key
+    computation, with one survivor per near-dup cluster."""
+    from tilecloud_chain_ray.stages.components import connected_components
+    from tilecloud_chain_ray.stages.dedup import minhash_dedup_pairs
+
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    exact = curate_corpus(docs, quality_min=0.0)
+    near = curate_corpus(docs, quality_min=0.0, near_dedup_threshold=0.8)
+    exact_df = exact.survivors.to_pandas()
+    near_df = near.survivors.to_pandas()
+    assert len(near_df) <= len(exact_df)
+
+    # manual expectation from the exact survivors
+    surv_ds = ray.data.from_pandas(exact_df)
+    pairs = minhash_dedup_pairs(surv_ds, threshold=0.8)
+    comp = connected_components(pairs).to_pandas()
+    dropped = set(comp.loc[comp["key"] != comp["component"], "key"])
+    assert set(near_df["doc_id"]) == set(exact_df["doc_id"]) - dropped
+    assert len(dropped) > 0  # the fixture contains near-dups

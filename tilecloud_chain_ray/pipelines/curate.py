@@ -112,12 +112,19 @@ def curate_corpus(
     shard_budget: int | None = None,
     n_buckets: int = 256,
     shard_bucket_size: int = 1 << 20,
+    near_dedup_threshold: float | None = None,
 ) -> CurateResult:
     """Run the curation chain; see module docstring.
 
     Returns the surviving rows (and, when ``shard_budget`` is set, the
     packed shard assignment table).  With ``out_dir`` the survivors are
     written as Parquet partitioned by ``group_col``.
+
+    ``near_dedup_threshold`` (opt-in) additionally drops NEAR
+    duplicates after the exact pass: MinHash+LSH pairs at the given
+    Jaccard threshold -> connected components -> keep the min key per
+    cluster (stages/components.py).  Off by default because it adds a
+    pair-expansion pass over the survivors.
     """
 
     filtered = ds.map_batches(
@@ -144,6 +151,16 @@ def curate_corpus(
         .groupby("_bucket")
         .map_groups(make_dedup_bucket(key_col), batch_format="pandas")
     )
+
+    if near_dedup_threshold is not None:
+        from tilecloud_chain_ray.stages.components import near_dedup_survivors
+        from tilecloud_chain_ray.stages.dedup import minhash_dedup_pairs
+
+        survivors = survivors.materialize()  # pairs + filter share one pass
+        pairs = minhash_dedup_pairs(
+            survivors, key_col=key_col, text_col=text_col, threshold=near_dedup_threshold
+        )
+        survivors = near_dedup_survivors(survivors, pairs, key_col=key_col)
 
     if out_dir is not None:
         survivors.write_parquet(out_dir, partition_cols=[group_col])
