@@ -160,3 +160,48 @@ def test_tiles_to_polygons_map_coords():
         tile_top = WEBMERC.bbox[3] - p["y"] * WEBMERC.span(1)
         assert tile_left - 1e-6 <= minx and maxx <= tile_left + WEBMERC.span(1) + 1e-6
         assert tile_top - WEBMERC.span(1) - 1e-6 <= miny and maxy <= tile_top + 1e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_density_pyramid_full_zoom_range_z14():
+    """The north-rule zoom range (0-14) end-to-end on a small doc set:
+    data-driven tiles only, exact per-zoom tile sets at the extremes,
+    and the raster->vector round-trip at z14."""
+    import ray
+
+    from tilecloud_chain_ray.config import Layer
+    from tilecloud_chain_ray.functions.cells import cell_decode, cell_for_micro
+    from tilecloud_chain_ray.grid import WEBMERC
+    from tilecloud_chain_ray.pipelines.density import density_pyramid
+    from tilecloud_chain_ray.pipelines.vectorize import vectorize_tiles
+
+    rng = np.random.default_rng(22)
+    n = 200
+    ux = rng.integers(0, 2**32, n, dtype=np.uint64)
+    uy = rng.integers(0, 2**32, n, dtype=np.uint64)
+    cells = cell_for_micro(ux, uy, 22)  # fine enough for z14 pixels
+    zooms = list(range(15))
+    ds = ray.data.from_arrow(pa.table({"cell": cells.astype(np.int64)}))
+    lay = Layer(name="z14_density", grid=WEBMERC, meta=False)
+    tiles = density_pyramid(ds, lay, zooms=zooms, with_summary=False).tiles.materialize()
+    rows = tiles.select_columns(["z", "x", "y"]).take_all()
+    by_zoom = {}
+    for r in rows:
+        by_zoom.setdefault(r["z"], set()).add((r["x"], r["y"]))
+    assert sorted(by_zoom) == zooms
+
+    _, cx, cy = cell_decode(cells)
+    for z in (0, 7, 14):
+        shift = 22 - (z + 8)
+        expected = set(
+            zip(((cx >> shift) >> 8).tolist(), ((cy >> shift) >> 8).tolist())
+        )
+        assert by_zoom[z] == expected, f"zoom {z}"
+
+    # raster->vector at the deepest zoom: exact pixel reconstruction
+    z14 = tiles.filter(lambda r: r["z"] == 14)
+    vec = vectorize_tiles(z14).take_all()
+    got = {((r["x"] << 8) | r["pcol"], (r["y"] << 8) | r["prow"]) for r in vec}
+    shift = 22 - 22
+    expected_px = set(zip(cx.tolist(), cy.tolist()))
+    assert got == expected_px
