@@ -55,6 +55,9 @@ def main() -> None:
                     help="rate (0.5) or per-lang rates (en=0.5,de=0.25)")
     ap.add_argument("--shard-budget", type=int, default=None,
                     help="tokens per training shard (writes <out>_shards/)")
+    ap.add_argument("--near-dedup", type=float, default=None, metavar="JACCARD",
+                    help="also drop NEAR duplicates: MinHash pairs at this "
+                         "Jaccard threshold -> clusters -> keep min key")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None)
     args = ap.parse_args()
@@ -98,6 +101,7 @@ def main() -> None:
         bench_shingles=bench,
         sample_rates=parse_rates(args.sample),
         shard_budget=args.shard_budget,
+        near_dedup_threshold=args.near_dedup,
     )
     n_out = result.survivors.count()
     n_shards = None
