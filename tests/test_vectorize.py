@@ -205,3 +205,26 @@ def test_density_pyramid_full_zoom_range_z14():
     shift = 22 - 22
     expected_px = set(zip(cx.tolist(), cy.tolist()))
     assert got == expected_px
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vectorize_rejects_metatiles():
+    import ray
+
+    from tilecloud_chain_ray.functions.png import encode_png
+    from tilecloud_chain_ray.pipelines.vectorize import vectorize_tiles
+
+    big = np.zeros((512, 512, 4), dtype=np.uint8)  # unsplit 2x2 metatile
+    big[0, 0] = (1, 2, 3, 255)
+    tiles = ray.data.from_arrow(
+        pa.table(
+            {
+                "z": pa.array([1], pa.int64()),
+                "x": pa.array([0], pa.int64()),
+                "y": pa.array([0], pa.int64()),
+                "data": pa.array([encode_png(big)], pa.binary()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="split"):
+        vectorize_tiles(tiles).take_all()

@@ -48,6 +48,13 @@ def _pixel_rows_for_tile(
     img = decode_png(blob)
     if img.ndim != 3:  # pragma: no cover - codec always returns 3-d
         raise ValueError("expected (h, w, c) image")
+    if img.shape[0] != img.shape[1] or img.shape[0] > 256:
+        # cell reconstruction packs (tile << 8 | pixel): only square
+        # <=256 px tiles map onto the quadtree; split metatiles first
+        # (stages/split.py) before vectorizing
+        raise ValueError(
+            f"vectorize expects split (<=256 px square) tiles, got {img.shape[:2]}"
+        )
     c = min(img.shape[2], 3)
     diff = np.abs(img[:, :, :c].astype(np.int16) - background[:c].astype(np.int16))
     shade = diff.max(axis=2)

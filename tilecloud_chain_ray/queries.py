@@ -232,12 +232,14 @@ def q_pip_join_rows(sf_dir: str) -> ray.data.Dataset:
 
 def q_knn_cosine(sf_dir: str) -> ray.data.Dataset:
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # query extraction: take(5) early-stops the stream once the five
+    # ids (vec_id < 5) are found instead of scanning the whole table
     qrows = sorted(
         (
             (r["vec_id"], r["embedding"])
             for r in emb.map_batches(
                 lambda b: b.filter(pc.less(b["vec_id"], 5)), batch_format="pyarrow"
-            ).take_all()
+            ).take(5)
         )
     )
     qids = np.array([r[0] for r in qrows])
@@ -642,12 +644,14 @@ def q_knn_ann(sf_dir: str) -> ray.data.Dataset:
     FAISS-style IVF coarse quantizer — knn_ivf_exact separately anchors
     the IVF path to the brute-force oracle."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # query extraction: take(5) early-stops the stream once the five
+    # ids (vec_id < 5) are found instead of scanning the whole table
     qrows = sorted(
         (
             (r["vec_id"], r["embedding"])
             for r in emb.map_batches(
                 lambda b: b.filter(pc.less(b["vec_id"], 5)), batch_format="pyarrow"
-            ).take_all()
+            ).take(5)
         )
     )
     qids = np.array([r[0] for r in qrows])
@@ -1116,12 +1120,14 @@ def q_knn_ivf_exact(sf_dir: str) -> ray.data.Dataset:
     """IVF with nprobe = n_lists: every list probed -> exact top-k, so
     the ANN index path shares the brute-force oracle."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # query extraction: take(5) early-stops the stream once the five
+    # ids (vec_id < 5) are found instead of scanning the whole table
     qrows = sorted(
         (
             (r["vec_id"], r["embedding"])
             for r in emb.map_batches(
                 lambda b: b.filter(pc.less(b["vec_id"], 5)), batch_format="pyarrow"
-            ).take_all()
+            ).take(5)
         )
     )
     qids = np.array([r[0] for r in qrows])
