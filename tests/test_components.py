@@ -126,3 +126,41 @@ def test_near_dedup_survivors_on_documents():
     assert reps <= kept
     # at least some duplicates exist in the fixture (else the test is vacuous)
     assert len(dropped) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dedup_survivors_bloom_path_equals_broadcast():
+    """Force the over-gate Bloom anti-join path and assert it keeps
+    exactly the same docs as the broadcast path."""
+    import ray
+
+    from tilecloud_chain_ray.stages.components import near_dedup_survivors
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64())})
+    )
+    # clusters of 3: (i, i+1), (i+1, i+2) for i % 10 == 0
+    base = np.arange(0, n - 2, 10, dtype=np.int64)
+    df = pd.DataFrame(
+        {
+            "key_a": np.concatenate([base, base + 1]),
+            "key_b": np.concatenate([base + 1, base + 2]),
+        }
+    )
+    pairs = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+    a = set(
+        r["doc_id"]
+        for r in near_dedup_survivors(docs, pairs, key_col="doc_id").take_all()
+    )
+    b = set(
+        r["doc_id"]
+        for r in near_dedup_survivors(
+            docs, pairs, key_col="doc_id", broadcast_max_bytes=0
+        ).take_all()
+    )
+    assert a == b
+    assert len(a) == n - 2 * len(base)  # two dropped per 3-cluster
+    assert set(base.tolist()) <= a  # min key survives

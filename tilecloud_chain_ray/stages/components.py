@@ -178,28 +178,40 @@ def near_dedup_survivors(
     docs: ray.data.Dataset,
     pairs: ray.data.Dataset,
     key_col: str = "doc_id",
+    broadcast_max_bytes: int = 128 << 20,
     **cc_kwargs,
 ) -> ray.data.Dataset:
     """Keep one doc per near-dup cluster (the min key) plus every doc
     not in any cluster.
 
     The drop set (cluster members that are not their component's min)
-    is proportional to the DUPLICATE universe, not the corpus — it is
-    broadcast once via ``ray.put`` and each batch filters locally, the
-    same shape as the exact-dedup anti-join (stages/bloom.py covers
-    the corpus-scale-match variant).
+    is proportional to the DUPLICATE universe, not the corpus.  While
+    it fits ``broadcast_max_bytes`` it is broadcast once via
+    ``ray.put`` and each batch filters with a sorted searchsorted;
+    beyond the gate it routes through the exact Bloom anti-join
+    (stages/bloom.py) — bitmap broadcast + distributed residue, never
+    a driver-sized key set.
     """
-    comp = connected_components(pairs, **cc_kwargs)
+    comp = connected_components(pairs, **cc_kwargs).materialize()
 
     def dropped(batch: pa.Table) -> pa.Table:
         keys = batch["key"].to_numpy(zero_copy_only=False)
         cs = batch["component"].to_numpy(zero_copy_only=False)
         return pa.table({"drop_key": pa.array(keys[keys != cs], pa.int64())})
 
+    drop_ds = comp.map_batches(dropped, batch_format="pyarrow")
+    n_drop = drop_ds.count()
+    if n_drop * 8 > broadcast_max_bytes:
+        from tilecloud_chain_ray.stages.bloom import bloom_anti_join
+
+        return bloom_anti_join(
+            docs, drop_ds, on=key_col, right_key_col="drop_key", n_keys_hint=n_drop
+        )
+
     drop_keys = np.concatenate(
         [
             t["drop_key"].to_numpy(zero_copy_only=False)
-            for t in [ray.get(r) for r in comp.map_batches(dropped, batch_format="pyarrow").to_arrow_refs()]
+            for t in ray.get(drop_ds.to_arrow_refs())
         ]
         or [np.array([], dtype=np.int64)]
     )
