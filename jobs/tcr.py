@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -92,6 +93,44 @@ def cmd_cost(args) -> None:
         import ray
 
         ray.shutdown()
+
+
+def cmd_vectorize(args) -> None:
+    """Raster -> vector: a stored tile table (parquet with z/x/y/data)
+    -> pixel/cell rows and WKT rectangle polygons in map coordinates
+    (pipelines/vectorize.py — the gdal_polygonize analog)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import tilecloud_chain_ray.grid as gridmod
+    from tilecloud_chain_ray.pipelines.vectorize import (
+        tiles_to_polygons,
+        vectorize_tiles,
+    )
+    from tilecloud_chain_ray.util import read_parquet_clean
+
+    grid = getattr(gridmod, args.grid.upper())
+    tiles = read_parquet_clean(args.tiles).materialize()
+    pixels = vectorize_tiles(tiles)
+    polys = tiles_to_polygons(tiles, grid)
+    os.makedirs(args.out, exist_ok=True)
+    pixels.write_parquet(os.path.join(args.out, "pixels"))
+    polys.write_parquet(os.path.join(args.out, "polygons"))
+    print(
+        json.dumps(
+            {
+                "tiles": tiles.count(),
+                "pixels": pixels.count(),
+                "polygons": polys.count(),
+                "out": args.out,
+            }
+        )
+    )
+    ray.shutdown()
 
 
 def cmd_time(args) -> None:
@@ -202,6 +241,12 @@ def main(argv=None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--base-url")
     p.set_defaults(fn=cmd_capabilities)
+
+    p = sub.add_parser("vectorize", help="tile table -> pixel rows + WKT polygons")
+    p.add_argument("--tiles", required=True, help="parquet tile table (z,x,y,data)")
+    p.add_argument("--grid", default="WEBMERC", help="named grid (WEBMERC, SWISSGRID_5, ...)")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_vectorize)
 
     p = sub.add_parser("time", help="N warm-up + N measured (meta)tiles, us/tile")
     p.add_argument("n", type=int, nargs="?", default=4)
