@@ -20,6 +20,15 @@ Scale notes: the only corpus-wide shuffle is the dedup groupby, salted
 to ``n_buckets`` (never one Ray group per distinct md5 — see
 BASELINE.md's dedup ledger); every filter is fused into one
 ``map_batches`` pass over the text so bytes are read once.
+
+Near-dedup (``near_dedup_threshold``) is available on THIS
+non-checkpointed chain only: MinHash pairs span shard groups, so
+composing it with curate_resumable's per-shard-group commit would
+need a two-phase protocol (pairs committed per group, clustering +
+survivor selection as a global second phase over committed pair
+tables) — the pieces exist (stages/components.py is resumable-input
+friendly: pairs parquet in, survivors out) but the orchestration is
+deliberately not wired this round.
 """
 
 from __future__ import annotations
