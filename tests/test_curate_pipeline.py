@@ -85,3 +85,30 @@ def test_curate_corpus_near_dedup():
     dropped = set(comp.loc[comp["key"] != comp["component"], "key"])
     assert set(near_df["doc_id"]) == set(exact_df["doc_id"]) - dropped
     assert len(dropped) > 0  # the fixture contains near-dups
+
+
+def test_curate_corpus_lm_filter():
+    """Opt-in perplexity cut: survivors are a subset of the no-cut run
+    with identical schema, and a tight ceiling drops rows."""
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    base = curate_corpus(docs, quality_min=0.0)
+    cut = curate_corpus(docs, quality_min=0.0, lm_max_ppl=1e9)  # keep all
+    base_df = base.survivors.to_pandas()
+    cut_df = cut.survivors.to_pandas()
+    assert sorted(cut_df.columns) == sorted(base_df.columns)
+    assert set(cut_df["doc_id"]) == set(base_df["doc_id"])
+
+    # median-perplexity ceiling drops roughly the worse half
+    from tilecloud_chain_ray.stages.lm import lm_score_batch, train_char_lm
+    import pyarrow as pa
+
+    model = train_char_lm(docs.materialize(), sample_max_docs=200)
+    scored = lm_score_batch(
+        pa.Table.from_pandas(base_df[["text"]], preserve_index=False), model
+    )
+    med = float(np.median(scored["lm_ppl"].to_numpy()))
+    tight = curate_corpus(docs, quality_min=0.0, lm_max_ppl=med, lm_sample_max_docs=200)
+    n_tight = tight.survivors.count()
+    assert 0 < n_tight < len(base_df)

@@ -122,6 +122,8 @@ def curate_corpus(
     n_buckets: int = 256,
     shard_bucket_size: int = 1 << 20,
     near_dedup_threshold: float | None = None,
+    lm_max_ppl: float | None = None,
+    lm_sample_max_docs: int = 50_000,
 ) -> CurateResult:
     """Run the curation chain; see module docstring.
 
@@ -134,6 +136,11 @@ def curate_corpus(
     Jaccard threshold -> connected components -> keep the min key per
     cluster (stages/components.py).  Off by default because it adds a
     pair-expansion pass over the survivors.
+
+    ``lm_max_ppl`` (opt-in) adds the CCNet-style perplexity cut: a
+    byte-trigram LM trains on the first ``lm_sample_max_docs`` rows of
+    the RULE-FILTERED stream (the trusted slice) and rows above the
+    perplexity ceiling are dropped before dedup (stages/lm.py).
     """
 
     filtered = ds.map_batches(
@@ -152,6 +159,19 @@ def curate_corpus(
 
     if sample_rates is not None:
         filtered = hash_sample(filtered, sample_rates, key_col=key_col, strat_col=group_col)
+
+    if lm_max_ppl is not None:
+        from tilecloud_chain_ray.stages.lm import perplexity_filter, train_char_lm
+
+        filtered = filtered.materialize()  # train + score share one pass
+        model = train_char_lm(filtered, text_col=text_col, sample_max_docs=lm_sample_max_docs)
+        filtered = perplexity_filter(
+            filtered, model, max_ppl=lm_max_ppl, text_col=text_col
+        ).map_batches(
+            # keep the survivor schema identical with or without the cut
+            lambda b: b.drop_columns(["lm_logprob", "lm_ppl"]),
+            batch_format="pyarrow",
+        )
 
     # exact content dedup: one salted-bucket shuffle of the surviving
     # rows; survivor per md5 = min key (deterministic, layout-free)
