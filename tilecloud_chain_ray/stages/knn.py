@@ -281,6 +281,166 @@ def knn_ivf(
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def _kmeans(x: np.ndarray, n_codes: int, iters: int = 12, seed: int = 9) -> np.ndarray:
+    """Plain (non-spherical) k-means for PQ sub-codebooks: assign by
+    min L2, recenter = mean.  Deterministic for a given seed."""
+    rng = np.random.default_rng(seed)
+    n_codes = min(n_codes, len(x))
+    cent = x[rng.choice(len(x), n_codes, replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for j in range(n_codes):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def knn_ivf_pq(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 5,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: np.ndarray | None = None,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    n_codes: int = 64,
+    rerank: int = 4,
+    train_sample: int = 4096,
+    seed: int = 5,
+) -> ray.data.Dataset:
+    """IVF-PQ approximate top-k cosine: coarse inverted lists plus
+    product-quantized scoring (the FAISS IVF,PQ memory path — at
+    10^12 rows the float vectors don't fit anywhere; PQ codes are
+    ``m_sub`` bytes/vector and scoring is table lookups), with exact
+    re-ranking of the ADC candidate list (the FAISS ``refine`` step:
+    ADC error swamps within-cluster margins, so the top ``rerank*k``
+    ADC candidates are re-scored against their true vectors — a tiny
+    matmul over candidates only; at deployment scale this is the
+    fetch-full-vectors-for-candidates step).
+
+    * Train (bounded driver sample): spherical k-means coarse
+      quantizer; PQ codebooks are trained on the RESIDUALS
+      ``x - centroid[list(x)]`` (the standard IVF-PQ trick — raw-vector
+      codes waste all resolution on the global layout and cannot
+      separate near-identical within-cluster neighbors).
+    * Broadcast: centroids, residual codebooks, each query's ADC table
+      ``T[q, sub, code] = q_sub . codebook[sub, code]`` and the
+      per-(query, list) offsets ``q . centroid[l]`` — the score
+      decomposes as ``q.x ~ q.c_l + sum_sub T[q, sub, code_sub]``: a
+      pure gather + constant, no float-vector math per row.
+    * Scan: assign batch rows to lists (one matmul), PQ-encode the
+      residuals (one matmul per subspace), gather + sum ADC rows for
+      the queries probing each list, then exact-re-rank the top
+      ``rerank*k`` ADC candidates.  Approximate by construction —
+      measure recall against :func:`knn_brute`.
+
+    Output schema identical to ``knn_brute`` (scores are the ADC
+    approximations).
+    """
+    queries = np.asarray(queries, dtype=np.float64)
+    if query_ids is None:
+        query_ids = np.arange(len(queries))
+    sample_rows = ds.limit(train_sample).take_all()
+    train = np.stack([r[vec_col] for r in sample_rows]).astype(np.float64)
+    train = train / np.linalg.norm(train, axis=1, keepdims=True).clip(1e-12)
+    dim = train.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub_d = dim // m_sub
+    cent = spherical_kmeans(train, n_lists=n_lists, seed=seed)
+    # residual codebooks (IVF-PQ proper)
+    train_res = train - cent[np.argmax(train @ cent.T, axis=1)]
+    books = np.stack(
+        [
+            _kmeans(train_res[:, s * sub_d : (s + 1) * sub_d], n_codes, seed=seed + s)
+            for s in range(m_sub)
+        ]
+    )  # (m_sub, n_codes, sub_d)
+
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True).clip(1e-12)
+    # ADC tables over residual codebooks: (nq, m_sub, n_codes)
+    adc = np.stack(
+        [qn[:, s * sub_d : (s + 1) * sub_d] @ books[s].T for s in range(m_sub)], axis=1
+    )
+    q_cent = qn @ cent.T  # per-(query, list) offsets
+    nprobe = min(nprobe, len(cent))
+    q_probes = np.argsort(-q_cent, axis=1)[:, :nprobe]
+    probes_by_list: dict[int, np.ndarray] = {
+        int(l): np.flatnonzero((q_probes == l).any(axis=1))
+        for l in np.unique(q_probes)
+    }
+    shared = ray.put((cent, books, adc, q_cent, qn, np.asarray(query_ids), probes_by_list))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        c, bk, tables, q_off, q_true, qids, by_list = ray.get(shared)
+        vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True).clip(1e-12)
+        lists = np.argmax(vn @ c.T, axis=1)
+        res = vn - c[lists]
+        n_sub, sd = bk.shape[0], bk.shape[2]
+        # PQ-encode the batch residuals: codes (n, m_sub)
+        codes = np.empty((len(vn), n_sub), dtype=np.int64)
+        for s in range(n_sub):
+            sub = res[:, s * sd : (s + 1) * sd]
+            # min L2 == max (dot - ||c||^2/2)
+            d = sub @ bk[s].T - 0.5 * (bk[s] ** 2).sum(axis=1)
+            codes[:, s] = np.argmax(d, axis=1)
+        out_q, out_key, out_score = [], [], []
+        sub_idx = np.arange(n_sub)
+        for l, q_idx in by_list.items():
+            mask = lists == l
+            if not mask.any():
+                continue
+            sub_codes = codes[mask]  # (n_l, m_sub)
+            sub_keys = keys[mask]
+            # scores (n_l, len(q_idx)): gather ADC entries and sum subspaces
+            t = tables[q_idx]  # (nq_l, m_sub, n_codes)
+            scores = t[:, sub_idx[None, :], sub_codes[:, :]].sum(axis=2).T
+            scores = scores + q_off[q_idx, l][None, :]  # + q . centroid_l
+            sub_vn = vn[mask]
+            n_cand = min(rerank * k, len(sub_keys))
+            kk = min(k, len(sub_keys))
+            for col_i, j in enumerate(q_idx):
+                col = scores[:, col_i]
+                cand = (
+                    np.argpartition(-col, n_cand - 1)[:n_cand]
+                    if n_cand < len(col)
+                    else np.arange(len(col))
+                )
+                # exact re-rank of the ADC candidates
+                exact = sub_vn[cand] @ q_true[j]
+                sel = (
+                    np.argpartition(-exact, kk - 1)[:kk]
+                    if kk < len(cand)
+                    else np.arange(len(cand))
+                )
+                out_q.extend([qids[j]] * len(sel))
+                out_key.extend(sub_keys[cand[sel]].tolist())
+                out_score.extend(exact[sel].tolist())
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                key_col: pa.array(out_key, pa.int64()),
+                "score": pa.array(out_score, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", key_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def knn_cell(
     ds: ray.data.Dataset,
     query_cells: list[int],
