@@ -497,3 +497,42 @@ def test_grouped_approx_quantiles_tdigest():
         ranks = np.searchsorted(sv, out[g]) / len(sv)
         # rank error < 0.005 at delta=200 (observed ~3e-4)
         assert np.abs(ranks - np.asarray(qs)).max() < 0.005, (g, ranks)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_misra_gries():
+    """Misra-Gries guarantee over a Zipf stream: every key with true
+    frequency > n/(capacity+1) is present, and [count_lo, count_hi]
+    brackets the true count — regardless of block layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tilecloud_chain_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(31)
+    keys = rng.zipf(1.4, 300_000).astype(np.int64)
+    keys = keys[keys < 10_000]
+    n = len(keys)
+    true = {int(k): int(c) for k, c in zip(*np.unique(keys, return_counts=True))}
+
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(7)
+    cap = 128
+    out = heavy_hitters(ds, "k", capacity=cap)
+    got = {
+        int(k): (int(lo), int(hi))
+        for k, lo, hi in zip(
+            out["key"].to_pylist(), out["count_lo"].to_pylist(), out["count_hi"].to_pylist()
+        )
+    }
+    guarantee = n / (cap + 1)
+    for k, c in true.items():
+        if c > guarantee:
+            assert k in got, (k, c, guarantee)
+    for k, (lo, hi) in got.items():
+        assert lo <= true.get(k, 0) <= hi, (k, lo, true.get(k, 0), hi)
+
+    # min_share drops the long tail but keeps the top key
+    top_key = max(true, key=true.get)
+    filtered = heavy_hitters(ds, "k", capacity=cap, min_share=0.02)
+    assert top_key in set(filtered["key"].to_pylist())

@@ -232,3 +232,101 @@ def grouped_approx_quantiles(
         lambda b: b.rename_columns([group_col, *b.column_names[1:]]),
         batch_format="pyarrow",
     )
+
+
+# -- Misra-Gries: mergeable heavy hitters ------------------------------------
+#
+# The third classic mergeable summary in this module (with HLL and the
+# t-digest): a bounded table of <= capacity (key, count) pairs
+# whose counts underestimate true frequencies by at most
+# n_decremented / capacity.  Summaries merge by adding counts then
+# re-compressing (Agarwal et al., "Mergeable Summaries", PODS'12 —
+# merging preserves the error bound), so corpus-wide top-k candidates
+# cost one sketch row per block regardless of input size.
+
+
+def _mg_compress(
+    keys: np.ndarray, counts: np.ndarray, capacity: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Keep <= capacity entries; returns (keys, counts, decremented).
+
+    The classic decrement step, vectorized: subtract the
+    (capacity+1)-th largest count from everything and drop <= 0.
+    """
+    if len(keys) <= capacity:
+        return keys, counts, 0
+    order = np.argsort(-counts, kind="stable")
+    thresh = counts[order[capacity]]
+    kept = counts > thresh
+    decremented = int(thresh)
+    return keys[kept], counts[kept] - thresh, decremented
+
+
+def _mg_from_values(keys: np.ndarray, capacity: int) -> tuple[np.ndarray, np.ndarray, int]:
+    uniq, counts = np.unique(keys, return_counts=True)
+    return _mg_compress(uniq, counts.astype(np.int64), capacity)
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    key_col: str,
+    capacity: int = 256,
+    min_share: float | None = None,
+) -> pa.Table:
+    """Approximate heavy hitters over an int64 column.
+
+    Returns (key, count_lo, count_hi): true frequency is within
+    [count_lo, count_hi]; every key with true frequency >
+    n / (capacity + 1) is guaranteed present (the Misra-Gries
+    guarantee).  With ``min_share``, rows whose count_hi is below
+    ``min_share * n`` are dropped.
+
+    One sketch row per block crosses the wire; the driver merge is a
+    vectorized add + one compress per block — O(blocks * capacity).
+    """
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k, c, dec = _mg_from_values(keys, capacity)
+        return pa.table(
+            {
+                "keys": pa.array([k.tobytes()], pa.binary()),
+                "counts": pa.array([c.tobytes()], pa.binary()),
+                "dec": pa.array([dec], pa.int64()),
+                "n": pa.array([len(keys)], pa.int64()),
+            }
+        )
+
+    parts = ray.get(ds.map_batches(sketch_batch, batch_format="pyarrow").to_arrow_refs())
+    tbl = pa.concat_tables(parts)
+    cur_k = np.empty(0, dtype=np.int64)
+    cur_c = np.empty(0, dtype=np.int64)
+    total_dec = 0
+    total_n = 0
+    for i in range(tbl.num_rows):
+        k = np.frombuffer(tbl["keys"][i].as_py(), dtype=np.int64)
+        c = np.frombuffer(tbl["counts"][i].as_py(), dtype=np.int64)
+        total_dec += int(tbl["dec"][i].as_py())
+        total_n += int(tbl["n"][i].as_py())
+        both_k = np.concatenate([cur_k, k])
+        both_c = np.concatenate([cur_c, c])
+        order = np.argsort(both_k, kind="stable")
+        both_k, both_c = both_k[order], both_c[order]
+        starts = np.flatnonzero(np.r_[True, both_k[1:] != both_k[:-1]])
+        sums = np.add.reduceat(both_c, starts)
+        cur_k, cur_c, dec = _mg_compress(both_k[starts], sums, capacity)
+        total_dec += dec
+    # count bounds: the stored count underestimates by at most total_dec
+    out_order = np.argsort(-cur_c, kind="stable")
+    cur_k, cur_c = cur_k[out_order], cur_c[out_order]
+    hi = cur_c + total_dec
+    if min_share is not None:
+        keep = hi >= min_share * total_n
+        cur_k, cur_c, hi = cur_k[keep], cur_c[keep], hi[keep]
+    return pa.table(
+        {
+            "key": pa.array(cur_k, pa.int64()),
+            "count_lo": pa.array(cur_c, pa.int64()),
+            "count_hi": pa.array(hi, pa.int64()),
+        }
+    )
