@@ -135,3 +135,37 @@ def test_ngram_jaccard_pairs_values():
     df = tbl.to_pandas().set_index("a")
     assert df.loc[0, "jaccard"] == pytest.approx(1 / 3)
     assert df.loc[2, "jaccard"] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_priority():
+    """Efraimidis-Spirakis priority sampling: the distributed local
+    top-k + merge equals the global numpy computation, is layout
+    independent, and includes dominant-weight keys always."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tilecloud_chain_ray.functions.hashing import mix64
+    from tilecloud_chain_ray.stages.curation import weighted_sample
+
+    rng = np.random.default_rng(41)
+    n = 20_000
+    keys = np.arange(n, dtype=np.int64)
+    w = rng.integers(1, 100, n).astype(np.float64)
+    w[7] = 1e9  # dominant weight -> priority ~1, always sampled
+
+    # global reference
+    u = (mix64(keys.astype(np.uint64)).astype(np.float64) + 1.0) / 2.0**64
+    pri = u ** (1.0 / w)
+    expect = set(keys[np.argsort(-pri, kind="stable")[:100]].tolist())
+
+    tbl = pa.table({"doc_id": keys, "n_tokens": w})
+    for parts in (3, 17):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        out = weighted_sample(ds, k=100)
+        got = set(out["doc_id"].to_pylist())
+        assert got == expect, parts
+        assert 7 in got
+        p = out["priority"].to_numpy()
+        assert (np.diff(p) <= 1e-18).all()  # sorted descending

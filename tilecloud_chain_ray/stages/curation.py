@@ -346,3 +346,56 @@ def repetition_fraction_batch(
         grams = {" ".join(ws[j : j + n]) for j in range(total)}
         frac[i] = 1.0 - len(grams) * 1.0 / total
     return batch.append_column(out_col, pa.array(frac, pa.float64()))
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    k: int,
+    key_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    partials_max_bytes: int = 64 << 20,
+) -> pa.Table:
+    """Deterministic weighted sampling WITHOUT replacement: the k rows
+    with the highest priority ``u^(1/w)``, ``u = splitmix64(key)/2^64``
+    (Efraimidis-Spirakis exponential-sort / priority sampling, public
+    algorithm).  Inclusion probability is proportional to weight, the
+    sample is identical under any block layout / retry / cluster size
+    (same property as ``hash_sample``), and — because u is a pure
+    function of the key — the exact same k rows are computable in SQL.
+
+    Each block contributes only its local top-k (keys + priorities);
+    the driver merges ``k x n_blocks`` candidate rows (byte-bounded by
+    ``partials_max_bytes``; raise k-aware salting upstream if a corpus
+    ever exceeds it).  Returns an Arrow table (key, weight, priority)
+    sorted by priority descending — a driver-sized result, like any
+    top-k.
+    """
+    from tilecloud_chain_ray.functions.hashing import mix64
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (mix64(keys.astype(np.uint64)).astype(np.float64) + 1.0) / 2.0**64
+        pri = np.where(w > 0, u ** (1.0 / np.maximum(w, 1e-300)), -1.0)
+        kk = min(k, len(keys))
+        idx = np.argpartition(-pri, kk - 1)[:kk] if kk < len(keys) else np.arange(len(keys))
+        return pa.table(
+            {
+                key_col: pa.array(keys[idx], pa.int64()),
+                weight_col: pa.array(w[idx], pa.float64()),
+                "priority": pa.array(pri[idx], pa.float64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(local_topk, batch_format="pyarrow").to_arrow_refs())
+    )
+    if parts.nbytes > partials_max_bytes:  # pragma: no cover - safety rail
+        raise ValueError(
+            f"weighted_sample partials {parts.nbytes}B exceed the gate; "
+            "reduce k or pre-aggregate"
+        )
+    pri = parts["priority"].to_numpy(zero_copy_only=False)
+    keys = parts[key_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((keys, -pri))[: min(k, len(pri))]
+    return parts.take(pa.array(order))
