@@ -164,3 +164,20 @@ def test_near_dedup_survivors_bloom_path_equals_broadcast():
     assert a == b
     assert len(a) == n - 2 * len(base)  # two dropped per 3-cluster
     assert set(base.tolist()) <= a  # min key survives
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dedup_survivors_no_pairs():
+    """Empty pair list: every doc survives (regression: empty drop set
+    must not index an empty array)."""
+    import ray
+
+    from tilecloud_chain_ray.stages.components import near_dedup_survivors
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(100, dtype=np.int64), pa.int64())})
+    )
+    empty = ray.data.from_arrow(
+        pa.table({"key_a": pa.array([], pa.int64()), "key_b": pa.array([], pa.int64())})
+    )
+    assert near_dedup_survivors(docs, empty).count() == 100

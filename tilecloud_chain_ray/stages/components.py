@@ -199,8 +199,10 @@ def near_dedup_survivors(
         cs = batch["component"].to_numpy(zero_copy_only=False)
         return pa.table({"drop_key": pa.array(keys[keys != cs], pa.int64())})
 
-    drop_ds = comp.map_batches(dropped, batch_format="pyarrow")
+    drop_ds = comp.map_batches(dropped, batch_format="pyarrow").materialize()
     n_drop = drop_ds.count()
+    if n_drop == 0:
+        return docs
     if n_drop * 8 > broadcast_max_bytes:
         from tilecloud_chain_ray.stages.bloom import bloom_anti_join
 
@@ -221,7 +223,7 @@ def near_dedup_survivors(
         drops = ray.get(drop_ref)
         keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.searchsorted(drops, keys)
-        hit = (pos < len(drops)) & (drops[np.clip(pos, 0, max(len(drops) - 1, 0))] == keys)
+        hit = (pos < len(drops)) & (drops[np.minimum(pos, len(drops) - 1)] == keys)
         return batch.filter(pa.array(~hit))
 
     return docs.map_batches(keep, batch_format="pyarrow")
