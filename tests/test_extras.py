@@ -536,3 +536,29 @@ def test_heavy_hitters_misra_gries():
     top_key = max(true, key=true.get)
     filtered = heavy_hitters(ds, "k", capacity=cap, min_share=0.02)
     assert top_key in set(filtered["key"].to_pylist())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sketch_and_sample_empty_inputs():
+    """Empty datasets (whose blocks Ray passes through without running
+    the UDF) return canonical empty results, not schema errors."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tilecloud_chain_ray.stages.curation import weighted_sample
+    from tilecloud_chain_ray.stages.sketch import heavy_hitters
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.float64()),
+            }
+        )
+    )
+    hh = heavy_hitters(empty, "k")
+    assert hh.num_rows == 0 and hh.schema.names == ["key", "count_lo", "count_hi"]
+    ws = weighted_sample(empty, k=5)
+    assert ws.num_rows == 0 and "priority" in ws.schema.names

@@ -387,9 +387,20 @@ def weighted_sample(
             }
         )
 
-    parts = pa.concat_tables(
-        ray.get(ds.map_batches(local_topk, batch_format="pyarrow").to_arrow_refs())
+    refs = ds.map_batches(local_topk, batch_format="pyarrow").to_arrow_refs()
+    empty = pa.table(
+        {
+            key_col: pa.array([], pa.int64()),
+            weight_col: pa.array([], pa.float64()),
+            "priority": pa.array([], pa.float64()),
+        }
     )
+    # Ray passes empty input blocks through without running the UDF,
+    # so filter to blocks that carry the sketch schema
+    tables = [t for t in ray.get(refs) if "priority" in t.schema.names]
+    if not tables:
+        return empty
+    parts = pa.concat_tables(tables)
     if parts.nbytes > partials_max_bytes:  # pragma: no cover - safety rail
         raise ValueError(
             f"weighted_sample partials {parts.nbytes}B exceed the gate; "

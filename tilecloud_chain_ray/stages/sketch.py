@@ -298,6 +298,17 @@ def heavy_hitters(
         )
 
     parts = ray.get(ds.map_batches(sketch_batch, batch_format="pyarrow").to_arrow_refs())
+    # Ray passes empty input blocks through without running the UDF —
+    # keep only blocks carrying the sketch schema
+    parts = [t for t in parts if "keys" in t.schema.names]
+    if not parts:
+        return pa.table(
+            {
+                "key": pa.array([], pa.int64()),
+                "count_lo": pa.array([], pa.int64()),
+                "count_hi": pa.array([], pa.int64()),
+            }
+        )
     tbl = pa.concat_tables(parts)
     cur_k = np.empty(0, dtype=np.int64)
     cur_c = np.empty(0, dtype=np.int64)
