@@ -169,7 +169,10 @@ def curate_corpus(
             filtered, model, max_ppl=lm_max_ppl, text_col=text_col
         ).map_batches(
             # keep the survivor schema identical with or without the cut
-            lambda b: b.drop_columns(["lm_logprob", "lm_ppl"]),
+            # (empty blocks pass through unscored — drop only present cols)
+            lambda b: b.drop_columns(
+                [c for c in ("lm_logprob", "lm_ppl") if c in b.schema.names]
+            ),
             batch_format="pyarrow",
         )
 
