@@ -239,3 +239,40 @@ def test_curate_resumable_fail_then_resume(tmp_path):
     assert s3["partitions_skipped"] == 4
     g3 = r3.survivors.to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(g3[cols], want[cols], check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_resumable_near_dedup_equals_streaming(tmp_path):
+    """Near-dedup in the checkpointed chain: a kill-and-resume run
+    produces exactly the streaming curate_corpus(near_dedup) corpus —
+    the pair/cluster/min-key chain is deterministic over committed
+    phase-1 partials, so resume never changes the drop set."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from tilecloud_chain_ray.pipelines.curate import curate_corpus
+    from tilecloud_chain_ray.pipelines.curate_resumable import curate_resumable
+
+    src = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    n = src.num_rows
+    step = (n + 2) // 3
+    for i in range(3):
+        pq.write_table(src.slice(i * step, step), str(shard_dir / f"docs_{i}.parquet"))
+
+    kw = dict(quality_min=0.0, near_dedup_threshold=0.8)
+    out = str(tmp_path / "curated")
+    r1, s1 = curate_resumable(str(shard_dir), out, fail_partitions={2}, **kw)
+    assert r1 is None and s1["partitions_error"] == 1
+    r2, s2 = curate_resumable(str(shard_dir), out, **kw)
+    assert s2["partitions_skipped"] == 2 and s2["partitions_error"] == 0
+
+    stream = curate_corpus(
+        ray.data.read_parquet(str(shard_dir)), **kw
+    ).survivors.to_pandas()
+    resumed = r2.survivors.to_pandas()
+    assert set(resumed["doc_id"]) == set(stream["doc_id"])
+    assert len(resumed) < src.num_rows  # near-dups actually dropped

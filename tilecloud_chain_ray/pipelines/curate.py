@@ -21,14 +21,13 @@ to ``n_buckets`` (never one Ray group per distinct md5 — see
 BASELINE.md's dedup ledger); every filter is fused into one
 ``map_batches`` pass over the text so bytes are read once.
 
-Near-dedup (``near_dedup_threshold``) is available on THIS
-non-checkpointed chain only: MinHash pairs span shard groups, so
-composing it with curate_resumable's per-shard-group commit would
-need a two-phase protocol (pairs committed per group, clustering +
-survivor selection as a global second phase over committed pair
-tables) — the pieces exist (stages/components.py is resumable-input
-friendly: pairs parquet in, survivors out) but the orchestration is
-deliberately not wired this round.
+Near-dedup (``near_dedup_threshold``) composes with BOTH chains: here
+it runs inline after the exact pass; in ``curate_resumable`` it rides
+phase 2's recompute-on-resume model — pairs, clustering and the
+min-key survivor rule are deterministic functions of the committed
+phase-1 partials, so the pairs are never checkpointed (the same
+rationale as not checkpointing the dedup shuffle), and a resumed run
+reproduces the identical drop set.
 """
 
 from __future__ import annotations

@@ -147,6 +147,7 @@ def curate_resumable(
     shard_bucket_size: int = 1 << 20,
     job_id: str = "curate-1",
     fail_partitions: set[int] | None = None,
+    near_dedup_threshold: float | None = None,
 ) -> tuple[CurateResult | None, dict]:
     """Run (or resume) the checkpointed curation job.
 
@@ -211,6 +212,20 @@ def curate_resumable(
     survivors = partials.groupby("_bucket").map_groups(
         make_dedup_bucket(key_col), batch_format="pandas"
     )
+    if near_dedup_threshold is not None:
+        # near-dedup rides phase 2's recompute-on-resume model: pairs,
+        # clustering and the min-key survivor rule are all deterministic
+        # functions of the committed phase-1 partials, so a resumed run
+        # reproduces the same drop set without checkpointing the pairs
+        # (same rationale as not checkpointing the dedup shuffle).
+        from tilecloud_chain_ray.stages.components import near_dedup_survivors
+        from tilecloud_chain_ray.stages.dedup import minhash_dedup_pairs
+
+        survivors = survivors.materialize()
+        pairs = minhash_dedup_pairs(
+            survivors, key_col=key_col, text_col=text_col, threshold=near_dedup_threshold
+        )
+        survivors = near_dedup_survivors(survivors, pairs, key_col=key_col)
     corpus_dir = os.path.join(out_dir, "corpus")
     shutil.rmtree(corpus_dir, ignore_errors=True)  # append-on-rewrite guard
     survivors.write_parquet(corpus_dir, partition_cols=[group_col])
