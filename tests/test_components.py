@@ -181,3 +181,33 @@ def test_near_dedup_survivors_no_pairs():
         pa.table({"key_a": pa.array([], pa.int64()), "key_b": pa.array([], pa.int64())})
     )
     assert near_dedup_survivors(docs, empty).count() == 100
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_connected_components_self_and_duplicate_pairs(force_distributed):
+    """Self-pairs and repeated pairs neither crash nor change components."""
+    import ray
+
+    from tilecloud_chain_ray.stages.components import connected_components
+
+    df = pd.DataFrame(
+        {
+            "key_a": [5, 5, 5, 9, 11],
+            "key_b": [5, 7, 7, 7, 11],
+        }
+    )
+    got = (
+        connected_components(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+            force_distributed=force_distributed,
+            n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    want = oracle_components(df).astype({"key": np.int64, "component": np.int64})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    comp = dict(zip(got["key"], got["component"]))
+    assert comp[5] == comp[7] == comp[9] == 5 and comp[11] == 11

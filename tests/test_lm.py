@@ -112,3 +112,14 @@ def test_train_and_filter_end_to_end():
     assert 0 < len(kept) <= 50
     kept_texts = {r["text"] for r in kept}
     assert kept_texts.isdisjoint(set(junk))
+
+
+def test_lm_scoring_multibyte_utf8():
+    """Non-ASCII text: the batch path scores the utf-8 BYTES, exactly
+    like the scalar encode() reference."""
+    m = tiny_model()
+    texts = ["héllo wörld", "日本語のテキスト", "abcabc"]
+    batch = pa.table({"text": texts})
+    lp = lm_score_batch(batch, m)["lm_logprob"].to_pylist()
+    for i, t in enumerate(texts):
+        assert abs(lp[i] - reference_logprob(m, t)) < 1e-12

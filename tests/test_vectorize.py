@@ -228,3 +228,27 @@ def test_vectorize_rejects_metatiles():
     )
     with pytest.raises(Exception, match="split"):
         vectorize_tiles(tiles).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vectorize_null_data_rows_skipped():
+    import ray
+
+    from tilecloud_chain_ray.functions.png import encode_png
+    from tilecloud_chain_ray.pipelines.vectorize import vectorize_tiles
+
+    img = np.zeros((4, 4, 4), dtype=np.uint8)
+    img[:] = (240, 240, 240, 255)
+    img[1, 2] = (10, 20, 30, 255)
+    tiles = ray.data.from_arrow(
+        pa.table(
+            {
+                "z": pa.array([0, 0], pa.int64()),
+                "x": pa.array([0, 1], pa.int64()),
+                "y": pa.array([0, 0], pa.int64()),
+                "data": pa.array([encode_png(img), None], pa.binary()),
+            }
+        )
+    )
+    rows = vectorize_tiles(tiles).take_all()
+    assert len(rows) == 1 and (rows[0]["pcol"], rows[0]["prow"]) == (2, 1)
