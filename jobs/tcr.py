@@ -44,11 +44,16 @@ def cmd_get_hash(args) -> None:
 
     layer = load_config(args.config).engine.layers[args.layer]
     c = parse_tilecoord(args.tilecoord)
-    empty_meta, empty_tile = empty_signatures(layer)
+    empty_meta, empty_tile = empty_signatures(layer, png_level=args.png_level)
     sig = empty_meta if c.n > 1 else empty_tile
     print(
         json.dumps(
-            {"tilecoord": str(c), "size": sig.size, "hash": sig.sha1},
+            {
+                "tilecoord": str(c),
+                "size": sig.size,
+                "hash": sig.sha1,
+                "png_level": args.png_level,
+            },
         )
     )
 
@@ -234,6 +239,13 @@ def main(argv=None) -> None:
     p.add_argument("tilecoord")
     p.add_argument("--config", required=True)
     p.add_argument("--layer", required=True)
+    p.add_argument(
+        "--png-level",
+        type=int,
+        default=6,
+        help="PNG encode level the target pipeline uses (generate: 6; "
+        "pipelines force 6 whenever empty_tile_detection pins a hash)",
+    )
     p.set_defaults(fn=cmd_get_hash)
 
     p = sub.add_parser("capabilities", help="write WMTSCapabilities.xml")

@@ -83,6 +83,26 @@ def test_kvfile_reopen_append(tmp_path):
     kv.close()
 
 
+def test_kvfile_crash_after_reopen_put(tmp_path):
+    """The recovery contract must hold for a writer that REOPENED an
+    existing file: the stale footer is invalidated on open, so a crash
+    right after a put() (simulated by never calling close()) falls back
+    to the log scan instead of loading an index whose offsets point into
+    overwritten record bytes."""
+    path = str(tmp_path / "t.kv")
+    kv = KVFile(path)
+    for i in range(50):
+        kv.put(f"k{i}".encode(), b"v" * 40)
+    kv.close()
+    kv = KVFile(path)  # reopen for write — must truncate the stale footer
+    kv.put(b"new1", b"A" * 8)  # short record: old footer would survive past it
+    del kv  # crash: no close(), no fresh footer written
+    rec = KVFile(path, read_only=True)
+    assert len(rec) == 51
+    assert rec.get(b"new1") == b"A" * 8 and rec.get(b"k49") == b"v" * 40
+    rec.close()
+
+
 def test_store_metadata_and_tiles(tmp_path):
     st = KVFileStore(str(tmp_path / "t.kv"))
     st.set_metadata(name="layer1", format="png")

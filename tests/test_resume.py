@@ -276,3 +276,58 @@ def test_curate_resumable_near_dedup_equals_streaming(tmp_path):
     resumed = r2.survivors.to_pandas()
     assert set(resumed["doc_id"]) == set(stream["doc_id"])
     assert len(resumed) < src.num_rows  # near-dups actually dropped
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_resumable_shard_set_changes(tmp_path):
+    """Resume identity is the shard PATH, not its sorted position:
+    adding a shard that sorts FIRST and removing another between runs
+    must neither reprocess committed shards nor leak stale partials from
+    the removed shard into the phase-2 corpus."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from tilecloud_chain_ray.pipelines.curate import curate_corpus
+    from tilecloud_chain_ray.pipelines.curate_resumable import curate_resumable
+    from tilecloud_chain_ray.sinks import lineage as lin
+
+    src = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    step = (src.num_rows + 3) // 4
+    parts = [src.slice(i * step, step) for i in range(4)]
+    # run 1 over shards b,c,d (a held back so it later sorts before them)
+    for name, t in zip(["b", "c", "d"], parts[:3]):
+        pq.write_table(t, str(shard_dir / f"docs_{name}.parquet"))
+
+    kw = dict(quality_min=0.4)
+    out = str(tmp_path / "curated")
+    r1, s1 = curate_resumable(str(shard_dir), out, **kw)
+    assert s1["partitions_done"] == 3 and s1["partitions_error"] == 0
+
+    partials_dir = f"{out}/filtered"
+    finish_before = {
+        pid: rec.finished_at for pid, rec in lin.load_records(partials_dir).items()
+    }
+
+    # mutate the shard set: add docs_a (sorts first, shifting every
+    # positional id) and remove docs_d entirely
+    pq.write_table(parts[3], str(shard_dir / "docs_a.parquet"))
+    (shard_dir / "docs_d.parquet").unlink()
+
+    r2, s2 = curate_resumable(str(shard_dir), out, **kw)
+    assert s2["partitions_total"] == 3
+    assert s2["partitions_skipped"] == 2, "committed b,c must be skipped"
+    assert s2["partitions_done"] == 3 and s2["partitions_error"] == 0
+    finish_after = lin.load_records(partials_dir)
+    for pid, t in finish_before.items():
+        assert finish_after[pid].finished_at == t, "committed shard was recomputed"
+
+    # phase-2 corpus == streaming run over the CURRENT shard list (a,b,c):
+    # docs_d's stale partial must not leak in
+    current = [str(shard_dir / f"docs_{n}.parquet") for n in ["a", "b", "c"]]
+    stream = curate_corpus(ray.data.read_parquet(current), **kw).survivors.to_pandas()
+    resumed = r2.survivors.to_pandas()
+    assert set(resumed["doc_id"]) == set(stream["doc_id"])

@@ -7,6 +7,7 @@ header) and ``internal_mapcache.py:260-335`` (lock -> re-read ->
 generate metatile -> store children)."""
 
 import json
+import os
 import threading
 import time
 import urllib.parse
@@ -194,6 +195,31 @@ def test_capabilities_and_static_files(tmp_path):
     assert srv.handle("static/1.0.0/secret.key").status == 403
     assert srv.handle("static/1.0.0/missing.png").status == 404
     assert srv.handle("static/../../etc/passwd.png").status == 403
+
+
+def test_static_symlink_escape_blocked(tmp_path):
+    """A symlink placed under the static root pointing outside it must
+    not be served (realpath, not abspath, guards the prefix check)."""
+    root = tmp_path / "cache"
+    (root / "1.0.0").mkdir(parents=True)
+    outside = tmp_path / "outside.png"
+    outside.write_bytes(b"\x89PNGsecret")
+    os.symlink(str(outside), str(root / "1.0.0" / "leak.png"))
+    srv = WmtsServer(LAYERS, str(root))
+    assert srv.handle("static/1.0.0/leak.png").status == 403
+    # a symlink that stays inside the root still serves
+    (root / "1.0.0" / "real.png").write_bytes(b"\x89PNGok")
+    os.symlink(str(root / "1.0.0" / "real.png"), str(root / "1.0.0" / "alias.png"))
+    ok = srv.handle("static/1.0.0/alias.png")
+    assert ok.status == 200 and ok.data == b"\x89PNGok"
+
+
+def test_forward_rejects_unknown_scheme():
+    from tilecloud_chain_ray.wmts_server import WmtsServer
+
+    srv = WmtsServer(LAYERS, None)
+    resp = srv._forward("ftp://example.invalid/info")
+    assert resp.status == 502 and "scheme" in resp.message
 
 
 # -- internal mapcache ---------------------------------------------------

@@ -36,6 +36,7 @@ hours and is what phase 1 amortizes.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 from typing import Sequence
@@ -53,6 +54,13 @@ from tilecloud_chain_ray.pipelines.curate import (
 from tilecloud_chain_ray.sinks import lineage as lin
 from tilecloud_chain_ray.stages.curation import contaminated_mask, hash_sample_mask
 from tilecloud_chain_ray.util import read_parquet_clean
+
+
+def _shard_id(path: str) -> int:
+    """Stable per-shard identity: 48 bits of the md5 of the absolute
+    path.  Lineage records and partial filenames key off this, so the
+    shard set can grow/shrink between runs without re-mapping ids."""
+    return int(hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12], 16)
 
 
 def _phase1_shard(
@@ -86,7 +94,7 @@ def _phase1_shard(
         if fail:
             raise RuntimeError(f"injected failure in shard {partition_id}")
         os.makedirs(partials_dir, exist_ok=True)
-        part_path = os.path.join(partials_dir, f"filtered_{partition_id:06d}.parquet")
+        part_path = os.path.join(partials_dir, f"filtered_{partition_id:012x}.parquet")
         tmp = part_path + ".tmp"
         pq.write_table(t, tmp)
         os.replace(tmp, part_path)  # commit the data BEFORE the lineage record
@@ -163,10 +171,18 @@ def curate_resumable(
         )
     else:
         shards = list(docs_dir)
+    # Resume identity is the shard PATH, not its position in the sorted
+    # list: adding/removing/renaming an input shard between runs must not
+    # shift which lineage record belongs to which shard (a positional id
+    # would skip never-processed shards and reprocess others under the
+    # wrong id).
+    sids = [_shard_id(s) for s in shards]
     partials_dir = os.path.join(out_dir, "filtered")
     done = lin.done_partitions(partials_dir)
-    todo = [(pid, s) for pid, s in enumerate(shards) if pid not in done]
-    fail = fail_partitions or set()
+    todo = [
+        (pos, sid, s) for pos, (sid, s) in enumerate(zip(sids, shards)) if sid not in done
+    ]
+    fail = fail_partitions or set()  # positional, for fault-injection tests
 
     if todo:
         task = ray.remote(max_retries=0)(_phase1_shard)
@@ -175,7 +191,7 @@ def curate_resumable(
             [
                 task.remote(
                     shard,
-                    pid,
+                    sid,
                     partials_dir,
                     key_col,
                     text_col,
@@ -186,27 +202,31 @@ def curate_resumable(
                     sample_rates,
                     n_buckets,
                     job_id,
-                    pid in fail,
+                    pos in fail,
                 )
-                for pid, shard in todo
+                for pos, sid, shard in todo
             ]
         )
 
     summary = lin.summarize_lineage(partials_dir)
     recs = lin.load_records(partials_dir)
+    sid_set = set(sids)
+    # Roll up over the CURRENT shard list only — stale records from
+    # removed shards neither count nor block the run.
+    cur = [r for pid, r in recs.items() if pid in sid_set]
     summary["partitions_total"] = len(shards)
-    summary["partitions_skipped"] = len(done)
-    summary["rows_filtered"] = sum(
-        r.rows_out or 0 for r in recs.values() if r.status == "done"
-    )
+    summary["partitions_skipped"] = len(done & sid_set)
+    summary["partitions_done"] = sum(1 for r in cur if r.status == "done")
+    summary["partitions_error"] = sum(1 for r in cur if r.status == "error")
+    summary["rows_filtered"] = sum(r.rows_out or 0 for r in cur if r.status == "done")
     if summary["partitions_error"]:
         return None, summary
 
-    # phase 2: dedup + partitioned corpus from the committed partials
+    # phase 2: dedup + partitioned corpus from the committed partials —
+    # restricted to partials belonging to the current shard list, so
+    # stale partials from removed shards cannot leak into the corpus.
     part_files = [
-        os.path.join(partials_dir, f)
-        for f in sorted(os.listdir(partials_dir))
-        if f.startswith("filtered_") and f.endswith(".parquet")
+        os.path.join(partials_dir, f"filtered_{sid:012x}.parquet") for sid in sorted(sids)
     ]
     partials = read_parquet_clean(part_files)
     survivors = partials.groupby("_bucket").map_groups(

@@ -297,6 +297,12 @@ def density_pyramid(
 
     assert not layer.meta, "density tiles are rendered per-tile (meta=False)"
 
+    if layer.empty_tile is not None and png_level != 6:
+        # User-pinned empty_tile_detection hashes (jobs/tcr.py get-hash)
+        # are computed at the level-6 encoding; encoding the pyramid at
+        # a different level would silently disable empty-tile dropping.
+        png_level = 6
+
     # ONE pass over the raw rows: per-batch partial pixel counts for
     # every zoom at once (np.unique combiner — only (z, tile, pixel,
     # n) partials cross the wire), then ONE groupby whose map_groups

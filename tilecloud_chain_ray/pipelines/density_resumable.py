@@ -196,8 +196,13 @@ def density_resumable(
             if f.startswith("partials_") and f.endswith(".parquet")
         ]
     )
-    rendered = assemble_and_render_tiles(partials, layer, n_buckets=n_buckets)
-    _, empty_tile = empty_signatures(layer, png_level=3)
+    # Pinned empty_tile_detection hashes are level-6 signatures (see
+    # density.density_pyramid): encode at 6 when one is set.
+    png_level = 6 if layer.empty_tile is not None else 3
+    rendered = assemble_and_render_tiles(
+        partials, layer, n_buckets=n_buckets, png_level=png_level
+    )
+    _, empty_tile = empty_signatures(layer, png_level=png_level)
     tiles = rendered.map_batches(
         make_hash_dropper(layer.empty_tile or empty_tile, "dropped"), batch_format="pyarrow"
     )

@@ -62,6 +62,15 @@ class KVFile:
         self._fh = open(path, mode)
         if exists:
             self._load()
+            if not read_only:
+                # Invalidate the stale footer NOW, not lazily at close():
+                # otherwise a crash after any put() leaves the old footer at
+                # the tail with an index_off pointing into overwritten record
+                # bytes, and the next open loads a garbage index instead of
+                # falling back to the log scan.
+                self._fh.truncate(self._append_at)
+                self._fh.flush()
+                os.fsync(self._fh.fileno())
         else:
             self._fh.write(_MAGIC)
             self._append_at = self._fh.tell()

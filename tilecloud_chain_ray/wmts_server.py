@@ -557,8 +557,11 @@ class WmtsServer:
             return TileResponse(404, message="no static cache configured")
         if rel.rsplit(".", maxsplit=1)[-1].lower() not in self.static_allow:
             return TileResponse(403, message="Extension not allowed")
-        base = os.path.abspath(self.root)
-        path = os.path.abspath(os.path.join(base, rel))
+        # realpath, not abspath: a symlink under the static root must not
+        # escape it (abspath leaves symlinks unresolved, so a link to
+        # /etc/... would pass the prefix check).
+        base = os.path.realpath(self.root)
+        path = os.path.realpath(os.path.join(base, rel))
         if not path.startswith(base + os.sep):
             return TileResponse(403, message="Path not allowed")
         if not os.path.isfile(path):
@@ -683,9 +686,14 @@ class WmtsServer:
         import http.client
 
         parts = urllib.parse.urlsplit(url)
-        conn = http.client.HTTPConnection(
-            parts.hostname, parts.port or 80, timeout=30
-        )
+        if parts.scheme == "https":
+            conn = http.client.HTTPSConnection(parts.hostname, parts.port or 443, timeout=30)
+        elif parts.scheme == "http":
+            conn = http.client.HTTPConnection(parts.hostname, parts.port or 80, timeout=30)
+        else:
+            return TileResponse(
+                502, message=f"The URL '{url}' has unsupported scheme '{parts.scheme}'"
+            )
         try:
             path = parts.path + ("?" + parts.query if parts.query else "")
             conn.request("GET", path)
