@@ -29,7 +29,7 @@ from tilecloud_chain_ray.stages.hashdrop import (
     make_hash_dropper,
 )
 from tilecloud_chain_ray.stages.render import DensityRenderer
-from tilecloud_chain_ray.util import read_parquet_clean
+from tilecloud_chain_ray.util import default_buckets, read_parquet_clean
 
 
 def cell_counts(
@@ -91,43 +91,11 @@ def pixel_rows_all_zooms(counts: ray.data.Dataset, zooms: Sequence[int]) -> ray.
     return counts.map_batches(to_pixels, batch_format="pyarrow")
 
 
-def tiles_with_pixels(pixel_counts: ray.data.Dataset) -> ray.data.Dataset:
-    """ONE shuffle: group pixel rows by (z, tile), summing duplicate
-    pixels and building the pixel list columns in the same map_groups."""
-
-    def collect(group: pd.DataFrame) -> pd.DataFrame:
-        agg = group.groupby(["pcol", "prow"], as_index=False)["n"].sum()
-        return pd.DataFrame(
-            {
-                "z": [np.int32(group["z"].iloc[0])],
-                "x": [np.int64(group["tx"].iloc[0])],
-                "y": [np.int64(group["ty"].iloc[0])],
-                "n": [np.int32(1)],
-                "pixel_cols": [agg["pcol"].to_numpy().astype(np.int64)],
-                "pixel_rows": [agg["prow"].to_numpy().astype(np.int64)],
-                "pixel_counts": [agg["n"].to_numpy().astype(np.int64)],
-            }
-        )
-
-    return pixel_counts.groupby(["z", "tx", "ty"]).map_groups(
-        collect, batch_format="pandas"
-    )
-
-
-def _default_buckets() -> int:
-    """Assembly-shuffle salt sized to the cluster: ~1 bucket per core
-    (floor 32).  Measured at a 341-tile sf0.1 output on 32 cpus:
-    256 fixed buckets = 1.5-2.2 s, 32 = 0.7-0.95 s — the groupby +
-    repartition + render chain pays per bucket, so dead width doubles
-    the leg; on a multi-node cluster cluster_resources() scales the
-    salt with total cores."""
-    try:
-        import ray as _ray
-
-        cpus = int(_ray.cluster_resources().get("CPU", 32))
-    except Exception:  # pragma: no cover - no cluster yet
-        cpus = 32
-    return max(32, cpus)
+# NOTE: an un-salted per-(z,tx,ty) grouping variant ("tiles_with_pixels")
+# used to live here; it was removed because a raw tile-key groupby is one
+# Ray group per tile — the shape the round-1 ledger measured at 334 s
+# before salting.  The only assembly path is the salted assemble_bucket
+# inside assemble_and_render_tiles below.
 
 
 def assemble_and_render_tiles(
@@ -150,7 +118,7 @@ def assemble_and_render_tiles(
     from tilecloud_chain_ray.stages.render import layer_color, render_density_image
 
     if n_buckets is None:
-        n_buckets = _default_buckets()
+        n_buckets = default_buckets()
     ts = layer.grid.tile_size
     color = layer_color(layer.name)
 

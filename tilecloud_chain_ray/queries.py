@@ -587,18 +587,15 @@ def q_tile_union_area_z2(sf_dir: str) -> pa.Table:
 
 def q_sessionize(sf_dir: str) -> ray.data.Dataset:
     """Per-user session counts (gap > 600 s starts a new session) —
-    the streaming-shaped windowed aggregate (§2.9)."""
+    the streaming-shaped windowed aggregate (§2.9), via the salted
+    sessionize stage (bounded bucket groupby, not one Ray group per
+    user — row-scale key cardinality at clickstream scale)."""
+    from tilecloud_chain_ray.stages.sessionize import session_counts
+
     events = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
-
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        us = g["ts"].astype("int64").to_numpy()
-        gaps = np.diff(us) > 600_000_000
-        return pd.DataFrame(
-            {"user_id": [group["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]}
-        )
-
-    return events.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return session_counts(
+        events, key="user_id", ts="ts", gap=600_000_000, tie="event_id"
+    )
 
 
 # ---------------------------------------------------------------------------

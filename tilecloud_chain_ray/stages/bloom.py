@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 import ray
 
 from tilecloud_chain_ray.functions.hashing import mix64 as _mix64
+from tilecloud_chain_ray.util import default_buckets
 
 
 def _bit_positions(keys: np.ndarray, n_bits: int, k: int) -> np.ndarray:
@@ -166,7 +167,7 @@ def bloom_anti_join(
     bits_per_key: int = 13,
     residue_max_bytes: int = 32 << 20,
     force_distributed: bool = False,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """EXACT anti-join (left rows whose key is absent from right_keys)
     via Bloom prefilter + exact verification of the flagged residue.
@@ -188,6 +189,8 @@ def bloom_anti_join(
       driver.  ``force_distributed`` pins this path for equality
       testing.
     """
+    if n_buckets is None:
+        n_buckets = default_buckets()
     right_key_col = right_key_col or on
     # consumed twice (bitmap build + residue present-check): pin the
     # key projection once instead of re-running its upstream pipeline

@@ -40,7 +40,10 @@ import pyarrow as pa
 import ray
 from ray.data.aggregate import Min, Sum
 
-from tilecloud_chain_ray.util import read_parquet_clean  # noqa: F401  (doc link)
+from tilecloud_chain_ray.util import (  # noqa: F401  (read_parquet_clean: doc link)
+    default_buckets,
+    read_parquet_clean,
+)
 
 
 def _union_find_driver(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -74,7 +77,7 @@ def connected_components(
     pairs: ray.data.Dataset,
     key_a: str = "key_a",
     key_b: str = "key_b",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     small_table_max_bytes: int = 48 << 20,
     force_distributed: bool = False,
     max_rounds: int = 64,
@@ -85,6 +88,8 @@ def connected_components(
     callers treat absence as "own component" (see
     ``near_dedup_survivors``).
     """
+    if n_buckets is None:
+        n_buckets = default_buckets()
     pairs = pairs.select_columns([key_a, key_b]).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:

@@ -19,6 +19,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from tilecloud_chain_ray.util import default_buckets
+
 logger = logging.getLogger(__name__)
 
 MERSENNE = (1 << 61) - 1
@@ -194,7 +196,7 @@ def minhash_candidates(
 
 
 def _expand_hot_bucket_pairs(
-    banded: ray.data.Dataset, max_bucket: int = 10_000, n_buckets: int = 256
+    banded: ray.data.Dataset, max_bucket: int = 10_000, n_buckets: int | None = None
 ) -> ray.data.Dataset:
     """Distinct (key_a < key_b) candidate pairs from a materialized
     (key, band, band_hash) table — fully distributed.
@@ -211,6 +213,8 @@ def _expand_hot_bucket_pairs(
     degenerate near-identical content better handled by exact dedup
     first).  Bump ``n_buckets`` with cluster size.
     """
+    if n_buckets is None:
+        n_buckets = default_buckets(floor=64, per_core=4)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         packed = _pack_band_keys(
@@ -488,7 +492,7 @@ def _verify_pairs_distributed(
     candidate_pairs: ray.data.Dataset,
     sigs: ray.data.Dataset,
     threshold: float,
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Exact Jaccard over candidate pairs with NO driver materialization.
 
@@ -501,6 +505,8 @@ def _verify_pairs_distributed(
     arrays.  Only int64 keys + the candidate universe's sig arrays
     move.  Bump ``n_buckets`` for larger clusters / hotter keys.
     """
+    if n_buckets is None:
+        n_buckets = default_buckets(floor=64, per_core=4)
 
     def halves(batch: pa.Table) -> pa.Table:
         a = batch["key_a"].combine_chunks()
@@ -786,7 +792,7 @@ def simhash_candidates(
     max_hamming: int = 3,
     small_table_max_bytes: int = 96 << 20,
     force_distributed: bool = False,
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Near-dup pairs with hamming(simhash) <= max_hamming, blocked on
     any equal 16-bit quarter (exact for max_hamming <= 3 by pigeonhole).
@@ -795,6 +801,8 @@ def simhash_candidates(
     blockings are packed into a single (block, value) id per fanned
     row, so the distributed path is a single salted groupby (formerly
     4x(hot-count groupby + take_all + filter + groupby))."""
+    if n_buckets is None:
+        n_buckets = default_buckets(floor=64, per_core=4)
     hashed = ds.map_batches(
         lambda b: simhash_batch(b, text_col).select([key_col, "simhash"]),
         batch_format="pyarrow",

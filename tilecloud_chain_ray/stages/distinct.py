@@ -24,12 +24,14 @@ import pyarrow as pa
 import ray
 from ray.data.aggregate import Sum
 
+from tilecloud_chain_ray.util import default_buckets
+
 
 def grouped_distinct_counts(
     ds: ray.data.Dataset,
     group_col: str,
     key_col: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     count_col: str = "n_distinct",
     rows_col: str = "n_rows",
     shuffle_blocks: int | None = None,
@@ -45,6 +47,8 @@ def grouped_distinct_counts(
     (measured 2.45 s -> 1.85 s on the z0-14 pyramid at sf0.1) without
     moving any extra bytes.  Default: n_buckets // 4, floor 8.
     """
+    if n_buckets is None:
+        n_buckets = default_buckets()
     if shuffle_blocks is None:
         shuffle_blocks = max(8, n_buckets // 4)
 

@@ -20,6 +20,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from tilecloud_chain_ray.util import default_buckets
+
 
 def _output_schema(
     on: str,
@@ -74,7 +76,7 @@ def hash_join(
     right: ray.data.Dataset,
     on: str,
     how: str = "inner",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     suffixes: tuple[str, str] = ("_l", "_r"),
     skew_keys: list[int] | None = None,
 ) -> ray.data.Dataset:
@@ -92,6 +94,8 @@ def hash_join(
     against left batches with no shuffle, and unioned with the bucketed
     join of the remaining keys.
     """
+    if n_buckets is None:
+        n_buckets = default_buckets()
     if how not in ("inner", "left"):
         raise ValueError(how)
     if skew_keys:
@@ -285,7 +289,7 @@ def asof_join(
     ts: str,
     right_cols: list[str],
     strict: bool = True,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """As-of join: for each left row, the latest right row of the same
     ``key`` with ``right.ts < left.ts`` (``strict``) or ``<=``.
@@ -301,6 +305,8 @@ def asof_join(
     the standard as-of partitioning assumption; salt by time range when
     a single key's history is huge.
     """
+    if n_buckets is None:
+        n_buckets = default_buckets()
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,136 @@
+"""Salted sessionize: gap-based session assignment over an event
+stream (the streaming-shaped windowed aggregate of SURVEY.md §2.9;
+reference analog: the per-run event accounting the database logger
+groups by run, ``/root/reference/tilecloud_chain/database_logger.py``).
+
+A naive ``events.groupby(user_id).map_groups(...)`` creates ONE Ray
+group per distinct user — row-scale key cardinality for clickstreams,
+the exact shuffle shape BASELINE.md's ledger measured ~30x slower than
+a salted bucket groupby (per-group scheduling ~1 ms x millions of
+keys).  Here both the shuffle's distinct-group count is bounded by
+``n_buckets`` (``hash(key) % n_buckets``, every key's full history
+co-locating in its bucket) and the per-bucket kernel is ONE vectorized
+numpy pass over ALL users in the bucket at once — no per-user Python.
+
+Partitioning assumption (same as :func:`~.join.asof_join`): a single
+key's events fit in one bucket's group.  Salt by time range if one
+key's history is itself huge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from tilecloud_chain_ray.util import default_buckets
+
+
+def _key_buckets(values: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket per key; vectorized for int and string keys."""
+    if np.issubdtype(values.dtype, np.integer):
+        k = values.astype(np.uint64)
+        return (
+            ((k * np.uint64(0x9E3779B1)) & np.uint64(0x7FFFFFFF)) % np.uint64(n_buckets)
+        ).astype(np.int64)
+    hashed = pd.util.hash_array(np.asarray(values, dtype=object))
+    return (hashed % np.uint64(n_buckets)).astype(np.int64)
+
+
+def session_counts(
+    events: ray.data.Dataset,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: int = 600_000_000,
+    tie: str | None = None,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key session counts: a new session starts when the time since
+    the previous event of the same key exceeds ``gap`` (in the unit of
+    ``ts`` cast to int64 — microseconds for ``timestamp[us]``).
+
+    Returns a Dataset of ``(key, n_sessions)``.
+    """
+    if n_buckets is None:
+        n_buckets = default_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        vals = batch[key].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__bucket", pa.array(_key_buckets(vals, n_buckets), pa.int64())
+        )
+
+    sort_cols = [key, ts] + ([tie] if tie else [])
+
+    def bucket_sessions(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame({key: [], "n_sessions": []})
+        g = group.sort_values(sort_cols, kind="mergesort")
+        k = g[key].to_numpy()
+        t = g[ts].astype("int64").to_numpy()
+        n = len(g)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        new_sess = new_key.copy()
+        new_sess[1:] |= (t[1:] - t[:-1]) > gap
+        starts = np.flatnonzero(new_key)
+        counts = np.add.reduceat(new_sess.astype(np.int64), starts)
+        return pd.DataFrame({key: k[starts], "n_sessions": counts})
+
+    return (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_sessions, batch_format="pandas")
+    )
+
+
+def assign_sessions(
+    events: ray.data.Dataset,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: int = 600_000_000,
+    tie: str | None = None,
+    n_buckets: int | None = None,
+    session_col: str = "session_id",
+) -> ray.data.Dataset:
+    """Per-event session ids: every input row plus a ``session_col``
+    numbering each key's sessions 0,1,2,... in time order.  Same salted
+    shuffle as :func:`session_counts`; the kernel stays one vectorized
+    pass (cumsum of session starts minus each key's base)."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        vals = batch[key].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__bucket", pa.array(_key_buckets(vals, n_buckets), pa.int64())
+        )
+
+    sort_cols = [key, ts] + ([tie] if tie else [])
+
+    def bucket_assign(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return group.drop(columns=["__bucket"])
+        g = group.sort_values(sort_cols, kind="mergesort")
+        k = g[key].to_numpy()
+        t = g[ts].astype("int64").to_numpy()
+        n = len(g)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        new_sess = new_key.copy()
+        new_sess[1:] |= (t[1:] - t[:-1]) > gap
+        sess_idx = np.cumsum(new_sess) - 1  # global session ordinal
+        base = sess_idx[new_key]  # first ordinal of each key
+        sess_of_key = sess_idx - np.repeat(base, np.diff(np.append(np.flatnonzero(new_key), n)))
+        out = g.drop(columns=["__bucket"]).copy()
+        out[session_col] = sess_of_key.astype(np.int64)
+        return out
+
+    return (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_assign, batch_format="pandas")
+    )

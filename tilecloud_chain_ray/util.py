@@ -29,6 +29,26 @@ def process_cached(key: Any, factory: Callable[[], Any]) -> Any:
     return obj
 
 
+def default_buckets(floor: int = 32, per_core: float = 1.0) -> int:
+    """Cluster-proportional salt for bucketed shuffles (join / bloom /
+    dedup / density / sessionize): ~``per_core`` buckets per cluster
+    core with a floor.
+
+    The bucketed-groupby pattern pays a fixed scheduling cost per
+    bucket and parallelizes at bucket granularity, so the right width
+    tracks total cores, not a constant: the density ledger measured
+    256 fixed buckets = 1.5-2.2 s vs 32 = 0.7-0.95 s on a 341-tile
+    output at 32 cpus, while a 256-node cluster wants thousands.  The
+    floor keeps skew tolerable when a couple of buckets go hot."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", floor))
+    except Exception:  # pragma: no cover - no cluster yet
+        cpus = floor
+    return max(floor, int(cpus * per_core))
+
+
 def narrow_partials(ds, blocks: int | None = None):
     """Coalesce pre-aggregated partial blocks before a bounded-key
     groupby.
