@@ -880,4 +880,21 @@ def oracle_sql() -> dict[str, str]:
                 ('tiles_stored', 8, 0)
             ) t(kind, x, y)
         """,
+        # Deterministic synthesized media (functions/png.py, jpeg.py,
+        # mp3.py, mp4.py are all from-scratch codecs over fixed
+        # content): decode -> resize -> feature aggregate per codec is
+        # a constant table, so the oracle is the precomputed golden —
+        # same pattern as generate_point_hash above.  png/jpeg
+        # feature_mean = mean decoded intensity after the 16x16
+        # bilinear resize; mp3/mp4 feature_mean = mean demuxed
+        # duration_ms; invariant_ok asserts every decode dimension /
+        # demux duration / frame-sample count matched.
+        "media_pipeline": """
+            SELECT * FROM (VALUES
+                ('png',  CAST(64 AS BIGINT), TRUE, 127.42),
+                ('jpeg', CAST(64 AS BIGINT), TRUE, 67.42),
+                ('mp3',  CAST(64 AS BIGINT), TRUE, 952.56),
+                ('mp4',  CAST(64 AS BIGINT), TRUE, 1239.06)
+            ) t(codec, n_media, invariant_ok, feature_mean)
+        """,
     }

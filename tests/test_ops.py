@@ -90,6 +90,46 @@ def test_verify_jaccard_distributed_matches_broadcast():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_verify_jaccard_distributed_dup_heavy():
+    """Dup-heavy corpus (~60% planted copies across 30k docs) through
+    the distributed verify leg: the vectorized combine_bucket (one
+    lexsort over concatenated sig buffers, no per-pair Python) must
+    agree with a direct per-pair Jaccard and finish in seconds."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = np.random.default_rng(3)
+    n_base, copies = 12_000, 18_000
+    base = [
+        " ".join(rng.choice(["alpha", "beta", "gamma", "delta", "eps"], 12))
+        for _ in range(n_base)
+    ]
+    src = rng.integers(0, n_base, copies)
+    texts = base + [base[i] for i in src]
+    ids = np.arange(len(texts), dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.Table.from_pydict({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    ).repartition(8)
+    cand = dd.minhash_candidates(ds, concurrency=(1, 2)).materialize()
+    t0 = time.perf_counter()
+    dist = dd.verify_jaccard(
+        cand, ds, threshold=0.99, small_table_max_bytes=0
+    ).to_pandas()
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 120, f"distributed verify took {elapsed:.1f}s"
+    # every planted (source, copy) pair with distinct texts verifies at 1.0
+    pairs = {(a, b) for a, b in zip(dist["key_a"], dist["key_b"])}
+    sample = [(int(min(s, n_base + j)), int(max(s, n_base + j)))
+              for j, s in enumerate(src[:200])]
+    for a, b in sample:
+        assert (a, b) in pairs
+    assert (dist["jaccard"] >= 0.99).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_simhash_distributed_path_matches_driver():
     table = docs_with_dups(100)
     ds = ray.data.from_arrow(table)

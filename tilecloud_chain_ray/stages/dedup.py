@@ -574,32 +574,64 @@ def _verify_pairs_distributed(
     attached = tagged.groupby("bucket").map_groups(attach_bucket, batch_format="pandas")
 
     def combine_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_j = [], [], []
-        for (ka, kb), g in group.groupby(["key_a", "key_b"], sort=False):
-            sa = sb = None
-            sides = g["side"].to_numpy()
-            sig_vals = g["sig"].to_numpy()
-            for s, arr in zip(sides, sig_vals):
-                if s == 0:
-                    sa = np.asarray(arr, dtype=np.uint64)
-                else:
-                    sb = np.asarray(arr, dtype=np.uint64)
-            if sa is None:
-                sa = np.array([], np.uint64)
-            if sb is None:
-                sb = np.array([], np.uint64)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            j = inter / union if union else 0.0
-            if j >= threshold:
-                out_a.append(ka)
-                out_b.append(kb)
-                out_j.append(j)
+        # One vectorized pass over ALL pairs in the bucket: the sigs of
+        # every half concatenate into one flat uint64 buffer tagged with
+        # a pair ordinal, and one lexsort finds cross-side duplicates —
+        # a (pair, value) appearing twice must be one half per side,
+        # since each side's sig is a unique set and pairs are distinct.
+        # Replaces a per-pair Python loop (np.intersect1d per pair) that
+        # dominated on dup-heavy corpora.
+        empty = pd.DataFrame(
+            {
+                "key_a": pd.Series([], dtype=np.int64),
+                "key_b": pd.Series([], dtype=np.int64),
+                "jaccard": pd.Series([], dtype=np.float64),
+            }
+        )
+        if group.empty:
+            return empty
+        ka = group["key_a"].to_numpy(dtype=np.int64)
+        kb = group["key_b"].to_numpy(dtype=np.int64)
+        side = group["side"].to_numpy(dtype=np.int8)
+        order = np.lexsort((side, kb, ka))
+        ka, kb, side = ka[order], kb[order], side[order]
+        sig_rows = group["sig"].to_numpy()[order]
+        n = len(ka)
+        new_pair = np.empty(n, dtype=bool)
+        new_pair[0] = True
+        new_pair[1:] = (ka[1:] != ka[:-1]) | (kb[1:] != kb[:-1])
+        pid_row = np.cumsum(new_pair) - 1
+        n_pairs = int(pid_row[-1]) + 1
+        lens = np.fromiter((len(a) for a in sig_rows), dtype=np.int64, count=n)
+        sa = np.bincount(
+            pid_row[side == 0], weights=lens[side == 0], minlength=n_pairs
+        ).astype(np.int64)
+        sb = np.bincount(
+            pid_row[side == 1], weights=lens[side == 1], minlength=n_pairs
+        ).astype(np.int64)
+        total = int(lens.sum())
+        if total:
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.uint64) for a in sig_rows if len(a)]
+            )
+            pid_val = np.repeat(pid_row, lens)
+            o2 = np.lexsort((flat, pid_val))
+            pv, vv = pid_val[o2], flat[o2]
+            dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+            inter = np.bincount(pv[1:][dup], minlength=n_pairs).astype(np.int64)
+        else:
+            inter = np.zeros(n_pairs, dtype=np.int64)
+        union = sa + sb - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = j >= threshold
+        if not keep.any():
+            return empty
+        starts = np.flatnonzero(new_pair)
         return pd.DataFrame(
             {
-                "key_a": np.array(out_a, dtype=np.int64),
-                "key_b": np.array(out_b, dtype=np.int64),
-                "jaccard": np.array(out_j, dtype=np.float64),
+                "key_a": ka[starts][keep],
+                "key_b": kb[starts][keep],
+                "jaccard": j[keep],
             }
         )
 
