@@ -889,12 +889,18 @@ def oracle_sql() -> dict[str, str]:
         # bilinear resize; mp3/mp4 feature_mean = mean demuxed
         # duration_ms; invariant_ok asserts every decode dimension /
         # demux duration / frame-sample count matched.
+        # img_dhash / img_phash: perceptual-hash image near-dup
+        # (stages/image_dedup.py) over 32 PNGs + 32 planted resize
+        # variants; invariant_ok = pair set EXACTLY the planted set,
+        # feature_mean = mean pair hamming distance.
         "media_pipeline": """
             SELECT * FROM (VALUES
                 ('png',  CAST(64 AS BIGINT), TRUE, 127.42),
                 ('jpeg', CAST(64 AS BIGINT), TRUE, 67.42),
                 ('mp3',  CAST(64 AS BIGINT), TRUE, 952.56),
-                ('mp4',  CAST(64 AS BIGINT), TRUE, 1239.06)
+                ('mp4',  CAST(64 AS BIGINT), TRUE, 1239.06),
+                ('img_dhash', CAST(64 AS BIGINT), TRUE, 0.94),
+                ('img_phash', CAST(64 AS BIGINT), TRUE, 0.81)
             ) t(codec, n_media, invariant_ok, feature_mean)
         """,
     }

@@ -1006,6 +1006,44 @@ def q_media_pipeline(sf_dir: str) -> pa.Table:
         rows["mean_intensity_rounded"].append(
             round(float(np.array(tbl["duration_ms"]).mean()), 2)
         )
+    # image near-dup leg (stages/image_dedup.py): perceptual-hash 32
+    # synthesized PNGs + 32 planted resize variants, pair via the shared
+    # quarter-blocked machinery; the invariant asserts the pair set is
+    # EXACTLY the planted set (no misses, no false pairs)
+    from tilecloud_chain_ray.stages.image_dedup import _resize_gray, image_near_dup_pairs
+    from tilecloud_chain_ray.stages.multimodal import _resize_bilinear
+    from tilecloud_chain_ray.functions.png import encode_png
+
+    n_img = 32
+    payloads, ids = [], []
+    for i in range(n_img):
+        rng = np.random.default_rng(100 + i)
+        lum = _resize_gray(rng.uniform(30, 225, (6, 6)), 48, 48)
+        rgb = np.stack(
+            [lum, np.clip(lum * 0.8 + 20, 0, 255), np.clip(255 - lum, 0, 255)], axis=-1
+        )
+        img = np.clip(rgb, 0, 255).astype(np.uint8)
+        variant = _resize_bilinear(img, 64)
+        for key, im in ((i, img), (1000 + i, variant)):
+            rgba = np.concatenate([im, np.full((im.shape[0], im.shape[1], 1), 255, np.uint8)], axis=2)
+            payloads.append(encode_png(rgba))
+            ids.append(key)
+    media = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"media_id": pa.array(ids, pa.int64()), "payload": pa.array(payloads, pa.binary())}
+        )
+    )
+    for method in ("dhash", "phash"):
+        pairs = image_near_dup_pairs(
+            media, codec="png", method=method, max_hamming=3, concurrency=(1, 2)
+        ).to_pandas()
+        got = {(a, b) for a, b in zip(pairs["key_a"], pairs["key_b"])}
+        want = {(i, 1000 + i) for i in range(n_img)}
+        rows["codec"].append(f"img_{method}")
+        rows["n_media"].append(2 * n_img)
+        rows["all_resized_16"].append(got == want)
+        rows["mean_intensity_rounded"].append(round(float(pairs["hamming"].mean()), 2))
+
     return pa.Table.from_pydict(
         {
             "codec": pa.array(rows["codec"], pa.string()),

@@ -833,12 +833,37 @@ def simhash_candidates(
     blockings are packed into a single (block, value) id per fanned
     row, so the distributed path is a single salted groupby (formerly
     4x(hot-count groupby + take_all + filter + groupby))."""
-    if n_buckets is None:
-        n_buckets = default_buckets(floor=64, per_core=4)
     hashed = ds.map_batches(
         lambda b: simhash_batch(b, text_col).select([key_col, "simhash"]),
         batch_format="pyarrow",
     )
+    return hamming_blocked_pairs(
+        hashed,
+        key_col=key_col,
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        small_table_max_bytes=small_table_max_bytes,
+        force_distributed=force_distributed,
+        n_buckets=n_buckets,
+    )
+
+
+def hamming_blocked_pairs(
+    hashed: ray.data.Dataset,
+    key_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    small_table_max_bytes: int = 96 << 20,
+    force_distributed: bool = False,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Pairs with hamming(hash) <= max_hamming over ANY 64-bit hash
+    column (text simhash, image pHash/dHash, ...), blocked on equal
+    16-bit quarters — exact for max_hamming <= 3 by pigeonhole; for
+    4..7 the quarter blocking is a high-recall heuristic.  Shared by
+    simhash_candidates and stages/image_dedup."""
+    if n_buckets is None:
+        n_buckets = default_buckets(floor=64, per_core=4)
 
     hashed = hashed.materialize()  # reused by the count gate + pair pass
 
@@ -848,7 +873,7 @@ def simhash_candidates(
         # (same shape as the minhash shortcut)
         tbl = pa.concat_tables(list(hashed.iter_batches(batch_format="pyarrow")))
         ks_all = tbl[key_col].to_numpy(zero_copy_only=False)
-        hs_all = tbl["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hs_all = tbl[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         a, b, h = _block_run_pairs(*_fan_block_ids(ks_all, hs_all), max_hamming)
         df = (
             pd.DataFrame({"key_a": a, "key_b": b, "hamming": h})
@@ -871,7 +896,7 @@ def simhash_candidates(
     # row-scale), detect equal-id runs vectorized inside each bucket
     def fan(batch: pa.Table) -> pa.Table:
         ks = batch[key_col].to_numpy(zero_copy_only=False)
-        hs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hs = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         bvs, kf, hf = _fan_block_ids(ks, hs)
         bucket = (
             (bvs.astype(np.uint64) * np.uint64(0x9E3779B1)) & np.uint64(0x7FFFFFFF)
