@@ -224,6 +224,44 @@ def cmd_serve(args) -> None:
         httpd.shutdown()
 
 
+def cmd_jobs_list(args) -> None:
+    from tilecloud_chain_ray.console import list_jobs
+
+    print(json.dumps(list_jobs(args.root), indent=2))
+
+
+def cmd_jobs_status(args) -> None:
+    from tilecloud_chain_ray.console import job_status
+
+    print(json.dumps(job_status(args.dir, top_errors=args.top_errors), indent=2))
+
+
+def cmd_jobs_errors(args) -> None:
+    from tilecloud_chain_ray.console import tail_errors
+
+    print(json.dumps(tail_errors(args.dir, args.n), indent=2))
+
+
+def cmd_jobs_requeue(args) -> None:
+    from tilecloud_chain_ray.console import requeue_errors
+
+    print(json.dumps(requeue_errors(args.dir)))
+
+
+def cmd_jobs_metrics(args) -> None:
+    from tilecloud_chain_ray.console import metrics_summary
+
+    print(json.dumps(metrics_summary(args.path), indent=2, default=str))
+
+
+def cmd_jobs_serve(args) -> None:
+    from tilecloud_chain_ray.console import serve
+
+    srv = serve(args.root, port=args.port, host=args.host)
+    print(f"console on http://{args.host}:{srv.server_address[1]}", file=sys.stderr)
+    srv.serve_forever()
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -280,6 +318,35 @@ def main(argv=None) -> None:
     p.add_argument("--dynamic", action="store_true", help="mapcache beyond seed")
     p.add_argument("--max-zoom-seed", type=int)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "jobs", help="operator console over lineage records (admin-UI analog)"
+    )
+    jsub = p.add_subparsers(dest="jobs_cmd", required=True)
+    jp = jsub.add_parser("list", help="all runs under a root directory")
+    jp.add_argument("--root", required=True)
+    jp.set_defaults(fn=cmd_jobs_list)
+    jp = jsub.add_parser("status", help="rollup + recent errors + ETA of one run")
+    jp.add_argument("--dir", required=True)
+    jp.add_argument("--top-errors", type=int, default=5)
+    jp.set_defaults(fn=cmd_jobs_status)
+    jp = jsub.add_parser("errors", help="tail of a run's error records")
+    jp.add_argument("--dir", required=True)
+    jp.add_argument("-n", type=int, default=20)
+    jp.set_defaults(fn=cmd_jobs_errors)
+    jp = jsub.add_parser(
+        "requeue", help="clear error records so the next resume re-runs them"
+    )
+    jp.add_argument("--dir", required=True)
+    jp.set_defaults(fn=cmd_jobs_requeue)
+    jp = jsub.add_parser("metrics", help="per-stage wall/cpu table from metrics parquet")
+    jp.add_argument("--path", required=True)
+    jp.set_defaults(fn=cmd_jobs_metrics)
+    jp = jsub.add_parser("serve", help="JSON HTTP console (/jobs /status /errors /requeue)")
+    jp.add_argument("--root", required=True)
+    jp.add_argument("--host", default="127.0.0.1")
+    jp.add_argument("--port", type=int, default=8081)
+    jp.set_defaults(fn=cmd_jobs_serve)
 
     args = ap.parse_args(argv)
     args.fn(args)

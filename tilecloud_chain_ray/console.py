@@ -1,0 +1,203 @@
+"""Operator console over lineage + metrics parquet — the admin-UI
+analog (reference ``tilecloud_chain/views/admin.py:257-434``: job
+listing, status rollup, error tail, re-queue; job state machine
+``store/postgresql.py:73-89,212-242``).
+
+The reference operator watches a PostgreSQL-backed admin page; here
+the same surfaces derive from the per-partition lineage JSON records
+(``sinks/lineage.py``) and the per-stage metrics parquet
+(``sinks/metrics.py``), exposed twice:
+
+* **CLI** — ``python jobs/tcr.py jobs {list,status,errors,requeue}``
+* **HTTP** — :class:`ConsoleServer`, a JSON API (``/jobs``,
+  ``/status``, ``/errors``, ``/requeue``, ``/metrics``) for dashboards.
+
+Re-queue semantics: a resumable run re-processes any partition whose
+lineage is NOT ``done`` — so re-queuing = deleting the error records
+(the next run picks those partitions up) and reporting which ones.
+The reference's "re-queue errors" button does the same state flip
+(error -> created, ``admin.py:257-307``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from tilecloud_chain_ray.sinks import lineage as lin
+
+
+def find_job_dirs(root: str, max_depth: int = 3) -> list[str]:
+    """Directories under ``root`` holding a ``_lineage/`` folder (the
+    out_dir of a resumable run), searched a few levels deep."""
+    out: list[str] = []
+    base_depth = root.rstrip(os.sep).count(os.sep)
+    for dirpath, dirnames, _ in os.walk(root):
+        if dirpath.count(os.sep) - base_depth > max_depth:
+            dirnames.clear()
+            continue
+        if "_lineage" in dirnames:
+            out.append(dirpath)
+            dirnames.remove("_lineage")
+    return sorted(out)
+
+
+def list_jobs(root: str) -> list[dict[str, Any]]:
+    """One row per run directory: job ids, partition counts, rollup
+    counters, last activity — the admin job-listing table."""
+    rows = []
+    for d in find_job_dirs(root):
+        recs = list(lin.load_records(d).values())
+        if not recs:
+            continue
+        done = [r for r in recs if r.status == "done"]
+        errors = [r for r in recs if r.status == "error"]
+        rows.append(
+            {
+                "dir": d,
+                "job_ids": sorted({r.job_id for r in recs}),
+                "partitions": len(recs),
+                "partitions_done": len(done),
+                "partitions_error": len(errors),
+                "tiles_stored": sum(r.tiles_generated - r.tiles_dropped for r in done)
+                if any(r.tiles_generated for r in done)
+                else sum(r.rows_out or 0 for r in done),
+                "status": "error" if errors else "done",
+                "last_activity": max(r.finished_at for r in recs),
+            }
+        )
+    return rows
+
+
+def job_status(out_dir: str, top_errors: int = 5) -> dict[str, Any]:
+    """summarize + per-(status, zoom) rollup + recent errors + ETA."""
+    return {
+        "dir": out_dir,
+        "summary": lin.summarize_lineage(out_dir),
+        **lin.status_rollup(out_dir, top_errors=top_errors),
+    }
+
+
+def tail_errors(out_dir: str, n: int = 20) -> list[dict[str, Any]]:
+    recs = [r for r in lin.load_records(out_dir).values() if r.status == "error"]
+    recs.sort(key=lambda r: r.finished_at, reverse=True)
+    return [
+        {
+            "partition_id": r.partition_id,
+            "job_id": r.job_id,
+            "error": r.error,
+            "finished_at": r.finished_at,
+            "zooms": r.zooms,
+        }
+        for r in recs[:n]
+    ]
+
+
+def requeue_errors(out_dir: str) -> dict[str, Any]:
+    """Clear error lineage records so the next resumable run re-runs
+    those partitions.  Returns the re-queued partition ids."""
+    requeued = []
+    for pid, rec in lin.load_records(out_dir).items():
+        if rec.status == "error":
+            os.remove(lin.record_path(out_dir, pid))
+            requeued.append(pid)
+    return {"requeued": sorted(requeued), "count": len(requeued)}
+
+
+def metrics_summary(metrics_path: str) -> list[dict[str, Any]]:
+    """Per-stage wall/cpu table from a metrics parquet written by
+    ``sinks/metrics.write_metrics``."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(metrics_path):
+        files = [
+            os.path.join(metrics_path, f)
+            for f in sorted(os.listdir(metrics_path))
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [metrics_path]
+    rows: list[dict[str, Any]] = []
+    for f in files:
+        rows.extend(pq.read_table(f).to_pylist())
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# HTTP surface
+# ---------------------------------------------------------------------------
+
+
+class ConsoleServer:
+    """Minimal JSON API over the console functions.
+
+    GET  /jobs                     -> list_jobs(root)
+    GET  /status?dir=<out_dir>     -> job_status
+    GET  /errors?dir=<out_dir>&n=N -> tail_errors
+    POST /requeue?dir=<out_dir>    -> requeue_errors (mutating => POST)
+    GET  /metrics?path=<parquet>   -> metrics_summary
+
+    ``dir``/``path`` are validated against ``root`` (realpath prefix)
+    so the API can't be steered at arbitrary filesystem paths."""
+
+    def __init__(self, root: str) -> None:
+        self.root = os.path.realpath(root)
+
+    def _check(self, path: str) -> str:
+        real = os.path.realpath(path)
+        if real != self.root and not real.startswith(self.root + os.sep):
+            raise PermissionError(f"{path} outside console root")
+        return real
+
+    def handle(self, method: str, path: str, params: dict[str, str]) -> tuple[int, dict | list]:
+        try:
+            if path == "/jobs" and method == "GET":
+                return 200, list_jobs(self.root)
+            if path == "/status" and method == "GET":
+                return 200, job_status(self._check(params["dir"]))
+            if path == "/errors" and method == "GET":
+                return 200, tail_errors(self._check(params["dir"]), int(params.get("n", "20")))
+            if path == "/requeue" and method == "POST":
+                return 200, requeue_errors(self._check(params["dir"]))
+            if path == "/metrics" and method == "GET":
+                return 200, metrics_summary(self._check(params["path"]))
+            return 404, {"error": f"no route {method} {path}"}
+        except PermissionError as exc:
+            return 403, {"error": str(exc)}
+        except KeyError as exc:
+            return 400, {"error": f"missing parameter {exc}"}
+        except OSError as exc:
+            return 400, {"error": str(exc)}
+
+
+def serve(root: str, port: int = 8081, host: str = "127.0.0.1"):
+    """Blocking HTTP server wrapping :class:`ConsoleServer`.  Returns
+    the server object when ``port=0`` tests need the bound port."""
+    import urllib.parse
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    console = ConsoleServer(root)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _respond(self, method: str) -> None:
+            parsed = urllib.parse.urlsplit(self.path)
+            params = dict(urllib.parse.parse_qsl(parsed.query))
+            status, payload = console.handle(method, parsed.path, params)
+            body = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            self._respond("GET")
+
+        def do_POST(self):  # noqa: N802
+            self._respond("POST")
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
