@@ -90,12 +90,23 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "pack_shards": lambda: q.q_pack_shards(sf_dir),
     }
 
+    # Two trials per query, warm = min: the scaling protocol's lesson
+    # (BASELINE.md) applied to the plain suite — this host's throughput
+    # drifts +-2x between driver windows, so a single cold pass is as
+    # much a host-state sample as a code measurement.  The cold values
+    # and a same-run hardware probe ship in the artifact so a reader
+    # can separate host drift from code change.
     timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, fn in benches.items():
-        t0 = time.perf_counter()
-        rows[name] = consume(fn())
-        timings[name] = round(time.perf_counter() - t0, 3)
+        trial = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows[name] = consume(fn())
+            trial.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(trial)
+        timings_cold[name] = max(trial)
 
     # throughput metrics over the primary table
     import pyarrow.parquet as pq
@@ -109,6 +120,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_cold": timings_cold,
+        "cold_value": round(sum(timings_cold.values()), 3),
+        "hw_probe": hw_probe(num_cpus),
         "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0),
         "num_cpus": num_cpus,
         "throughput": {
@@ -119,6 +133,45 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     }
     ray.shutdown()
     return result
+
+
+_PROBE_MB_PER_PROC = 96
+
+
+def _probe_work(_: int) -> int:
+    """Fixed CPU-bound kernel: md5 over 96 MB of process-local bytes."""
+    import hashlib
+
+    buf = bytes(range(256)) * (1 << 12)  # 1 MiB
+    h = hashlib.md5()
+    for _ in range(_PROBE_MB_PER_PROC):
+        h.update(buf)
+    return h.digest()[0]
+
+
+def hw_probe(num_cpus: int) -> dict:
+    """Same-run host-state fingerprint: the fixed md5 kernel on 1
+    process and on ``num_cpus`` processes (multiprocessing, no Ray).
+    ``sec_multi`` calibrates the suite numbers against host drift —
+    same code on a slow window shows a proportionally slower probe;
+    ``parallel_ratio`` = sec_single / sec_multi (each proc does the
+    single proc's work, so ideal = 1.0) captures the turbo/DRAM
+    rolloff documented in BASELINE.md."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    _probe_work(0)
+    sec_single = time.perf_counter() - t0
+    with mp.Pool(num_cpus) as pool:
+        t1 = time.perf_counter()
+        pool.map(_probe_work, range(num_cpus), chunksize=1)
+        sec_multi = time.perf_counter() - t1
+    return {
+        "sec_single": round(sec_single, 3),
+        "sec_multi": round(sec_multi, 3),
+        "procs": num_cpus,
+        "parallel_ratio": round(sec_single / sec_multi, 3) if sec_multi else None,
+    }
 
 
 SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "800000"))
