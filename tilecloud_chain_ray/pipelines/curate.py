@@ -118,7 +118,9 @@ def curate_corpus(
     bench_shingles: frozenset[str] | None = None,
     sample_rates: dict[str, float] | float | None = None,
     shard_budget: int | None = None,
-    n_buckets: int = 256,
+    n_buckets: int = 256,  # dedup-bucket id is COMMITTED in resumable partials:
+    # a fixed per-job constant, never cluster-sized (mixed counts across resume
+    # attempts would split identical md5s into different buckets)
     shard_bucket_size: int = 1 << 20,
     near_dedup_threshold: float | None = None,
     lm_max_ppl: float | None = None,

@@ -151,7 +151,9 @@ def curate_resumable(
     bench_shingles: frozenset[str] | None = None,
     sample_rates: dict[str, float] | float | None = None,
     shard_budget: int | None = None,
-    n_buckets: int = 256,
+    n_buckets: int = 256,  # dedup-bucket id is COMMITTED in resumable partials:
+    # a fixed per-job constant, never cluster-sized (mixed counts across resume
+    # attempts would split identical md5s into different buckets)
     shard_bucket_size: int = 1 << 20,
     job_id: str = "curate-1",
     fail_partitions: set[int] | None = None,
