@@ -257,7 +257,11 @@ def cmd_jobs_metrics(args) -> None:
 def cmd_jobs_serve(args) -> None:
     from tilecloud_chain_ray.console import serve
 
-    srv = serve(args.root, port=args.port, host=args.host)
+    commands = None
+    if args.commands:
+        with open(args.commands) as fh:
+            commands = json.load(fh)  # {name: argv_list} — the allow-list
+    srv = serve(args.root, port=args.port, host=args.host, commands=commands)
     print(f"console on http://{args.host}:{srv.server_address[1]}", file=sys.stderr)
     srv.serve_forever()
 
@@ -346,6 +350,12 @@ def main(argv=None) -> None:
     jp.add_argument("--root", required=True)
     jp.add_argument("--host", default="127.0.0.1")
     jp.add_argument("--port", type=int, default=8081)
+    jp.add_argument(
+        "--commands",
+        help="JSON file {name: argv_list}: the predefined-command allow-list "
+        "served at /commands and runnable via POST /run?name=... "
+        "(reference server.predefined_commands)",
+    )
     jp.set_defaults(fn=cmd_jobs_serve)
 
     args = ap.parse_args(argv)

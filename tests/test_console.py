@@ -164,3 +164,29 @@ def test_console_server_routes_unit():
     assert code == 404
     code, payload = c.handle("GET", "/status", {})
     assert code == 400 and "missing" in payload["error"]
+
+
+def test_predefined_commands(tmp_path):
+    """Allow-listed command execution (the reference admin's run
+    surface): only registered names run, by exact name."""
+    cmds = {
+        "echo-version": [sys.executable, "-c", "print('tcr 4.0')"],
+        "fail": [sys.executable, "-c", "import sys; sys.exit(3)"],
+    }
+    c = ConsoleServer(str(tmp_path), commands=cmds)
+
+    code, listing = c.handle("GET", "/commands", {})
+    assert code == 200 and listing == {"commands": ["echo-version", "fail"]}
+
+    code, res = c.handle("POST", "/run", {"name": "echo-version"})
+    assert code == 200 and res["returncode"] == 0 and "tcr 4.0" in res["stdout"]
+
+    code, res = c.handle("POST", "/run", {"name": "fail"})
+    assert code == 200 and res["returncode"] == 3
+
+    # NOT in the allow-list: refused, never executed
+    code, res = c.handle("POST", "/run", {"name": "rm -rf /"})
+    assert code == 403
+    # mutating route requires POST
+    code, res = c.handle("GET", "/run", {"name": "echo-version"})
+    assert code == 404

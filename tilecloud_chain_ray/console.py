@@ -129,6 +129,34 @@ def metrics_summary(metrics_path: str) -> list[dict[str, Any]]:
 # ---------------------------------------------------------------------------
 
 
+def run_predefined(
+    commands: dict[str, list[str]], name: str, cwd: str, timeout: int = 300
+) -> dict[str, Any]:
+    """Execute ONE predefined command by exact name — the allow-listed
+    command execution of the reference admin page
+    (``views/admin.py:257-434`` + ``schema.json`` server.predefined_commands),
+    tightened: only commands registered at server construction run, by
+    name, never caller-supplied argv."""
+    if name not in commands:
+        raise KeyError(name)
+    import subprocess
+
+    proc = subprocess.run(
+        commands[name],
+        capture_output=True,
+        text=True,
+        cwd=cwd,
+        timeout=timeout,
+    )
+    return {
+        "name": name,
+        "argv": commands[name],
+        "returncode": proc.returncode,
+        "stdout": proc.stdout[-65536:],
+        "stderr": proc.stderr[-65536:],
+    }
+
+
 class ConsoleServer:
     """Minimal JSON API over the console functions.
 
@@ -137,12 +165,15 @@ class ConsoleServer:
     GET  /errors?dir=<out_dir>&n=N -> tail_errors
     POST /requeue?dir=<out_dir>    -> requeue_errors (mutating => POST)
     GET  /metrics?path=<parquet>   -> metrics_summary
+    GET  /commands                 -> predefined command names
+    POST /run?name=<command>       -> run_predefined (allow-listed only)
 
     ``dir``/``path`` are validated against ``root`` (realpath prefix)
     so the API can't be steered at arbitrary filesystem paths."""
 
-    def __init__(self, root: str) -> None:
+    def __init__(self, root: str, commands: dict[str, list[str]] | None = None) -> None:
         self.root = os.path.realpath(root)
+        self.commands = dict(commands or {})
 
     def _check(self, path: str) -> str:
         real = os.path.realpath(path)
@@ -162,6 +193,13 @@ class ConsoleServer:
                 return 200, requeue_errors(self._check(params["dir"]))
             if path == "/metrics" and method == "GET":
                 return 200, metrics_summary(self._check(params["path"]))
+            if path == "/commands" and method == "GET":
+                return 200, {"commands": sorted(self.commands)}
+            if path == "/run" and method == "POST":
+                name = params["name"]
+                if name not in self.commands:
+                    return 403, {"error": f"command {name!r} not in the allow-list"}
+                return 200, run_predefined(self.commands, name, cwd=self.root)
             return 404, {"error": f"no route {method} {path}"}
         except PermissionError as exc:
             return 403, {"error": str(exc)}
@@ -171,13 +209,18 @@ class ConsoleServer:
             return 400, {"error": str(exc)}
 
 
-def serve(root: str, port: int = 8081, host: str = "127.0.0.1"):
+def serve(
+    root: str,
+    port: int = 8081,
+    host: str = "127.0.0.1",
+    commands: dict[str, list[str]] | None = None,
+):
     """Blocking HTTP server wrapping :class:`ConsoleServer`.  Returns
     the server object when ``port=0`` tests need the bound port."""
     import urllib.parse
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    console = ConsoleServer(root)
+    console = ConsoleServer(root, commands=commands)
 
     class Handler(BaseHTTPRequestHandler):
         def _respond(self, method: str) -> None:
