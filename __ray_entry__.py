@@ -900,7 +900,8 @@ def oracle_sql() -> dict[str, str]:
                 ('mp3',  CAST(64 AS BIGINT), TRUE, 952.56),
                 ('mp4',  CAST(64 AS BIGINT), TRUE, 1239.06),
                 ('img_dhash', CAST(64 AS BIGINT), TRUE, 0.94),
-                ('img_phash', CAST(64 AS BIGINT), TRUE, 0.81)
+                ('img_phash', CAST(64 AS BIGINT), TRUE, 0.81),
+                ('audio_fp',  CAST(32 AS BIGINT), TRUE, 0.38)
             ) t(codec, n_media, invariant_ok, feature_mean)
         """,
     }

@@ -1044,6 +1044,41 @@ def q_media_pipeline(sf_dir: str) -> pa.Table:
         rows["all_resized_16"].append(got == want)
         rows["mean_intensity_rounded"].append(round(float(pairs["hamming"].mean()), 2))
 
+    # audio near-dup leg (stages/audio_dedup.py): spectral fingerprints
+    # over decoded WAV PCM, planted gain+noise variants, same blocked
+    # pairing — the pair set must be EXACTLY the planted set
+    from tilecloud_chain_ray.functions.wav import encode_wav
+    from tilecloud_chain_ray.stages.audio_dedup import _BAND_EDGES_HZ, audio_near_dup_pairs
+
+    n_clip, rate, sec = 16, 16000, 2.0
+    payloads, ids = [], []
+    for i in range(n_clip):
+        rng = np.random.default_rng(500 + i)
+        t = np.arange(int(rate * sec)) / rate
+        x = np.zeros_like(t)
+        for b in range(8):
+            for _ in range(2):
+                f = rng.uniform(_BAND_EDGES_HZ[b], min(_BAND_EDGES_HZ[b + 1], rate / 2 * 0.95))
+                env = np.interp(t, np.linspace(0, sec, 6), rng.uniform(0.05, 1.0, 6))
+                x += rng.uniform(0.3, 1.0) * env * np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+        s = (x / np.max(np.abs(x)) * 20000).astype(np.int16)
+        variant = (s * 0.5).astype(np.int16) + (
+            150 * np.random.default_rng(i).standard_normal(len(s))
+        ).astype(np.int16)
+        payloads += [encode_wav(s, rate), encode_wav(variant, rate)]
+        ids += [i, 1000 + i]
+    clips = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"media_id": pa.array(ids, pa.int64()), "payload": pa.array(payloads, pa.binary())}
+        )
+    )
+    pairs = audio_near_dup_pairs(clips, max_hamming=3, concurrency=(1, 2)).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["key_a"], pairs["key_b"])}
+    rows["codec"].append("audio_fp")
+    rows["n_media"].append(2 * n_clip)
+    rows["all_resized_16"].append(got == {(i, 1000 + i) for i in range(n_clip)})
+    rows["mean_intensity_rounded"].append(round(float(pairs["hamming"].mean()), 2))
+
     return pa.Table.from_pydict(
         {
             "codec": pa.array(rows["codec"], pa.string()),
