@@ -861,7 +861,8 @@ def hamming_blocked_pairs(
     column (text simhash, image pHash/dHash, ...), blocked on equal
     16-bit quarters — exact for max_hamming <= 3 by pigeonhole; for
     4..7 the quarter blocking is a high-recall heuristic.  Shared by
-    simhash_candidates and stages/image_dedup."""
+    simhash_candidates (text), stages/image_dedup (pHash/dHash) and
+    stages/audio_dedup (spectral fingerprints)."""
     if n_buckets is None:
         n_buckets = default_buckets(floor=64, per_core=4)
 
