@@ -251,11 +251,15 @@ def scaling_workload(num_cpus: int) -> dict:
         )
         # branch point: materialize ONCE after geocode+analyze so the band
         # branch and the density branch share a single read+geocode pass
-        # (consuming a lazy Dataset twice re-executes its whole chain)
+        # (consuming a lazy Dataset twice re-executes its whole chain).
+        # The density branch's input is materialized NARROW (cell only):
+        # projecting inside the leg would drag the wide text blocks
+        # through the tile chain's every re-read — prune at the branch,
+        # the same lever as prune-at-the-read.
         analyzed = geocoded.map_batches(analyze, batch_format="pyarrow", batch_size=4096)
         mat = analyzed.materialize()
         banded = mat.map_batches(band_fn, batch_format="pyarrow", batch_size=2048)
-        geo_cells = mat.select_columns(["cell"])
+        geo_cells = mat.select_columns(["cell"]).materialize()
         n_band_rows = banded.count()
         t_analysis = time.perf_counter() - t0
 

@@ -60,7 +60,7 @@ def list_jobs(root: str) -> list[dict[str, Any]]:
                 "partitions": len(recs),
                 "partitions_done": len(done),
                 "partitions_error": len(errors),
-                "tiles_stored": sum(r.tiles_generated - r.tiles_dropped for r in done)
+                "tiles_stored": sum(r.tiles_stored for r in done)
                 if any(r.tiles_generated for r in done)
                 else sum(r.rows_out or 0 for r in done),
                 "status": "error" if errors else "done",
