@@ -59,7 +59,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": q.q_lang_stats,
         "lang_pred_counts": q.q_lang_pred_counts,
         "token_stats": q.q_token_stats,  # whitespace + BPE-ish in one entry
-        "quality_hist": q.q_quality_hist,
+        # replaces quality_hist at the 50-entry driver cap: the quality
+        # kernel stays anchored by quality_filter_counts (same scoring
+        # expression) + curate_counts, and quality_hist keeps its SQL
+        # parity check in tests/test_oracle_parity.py
+        "substring_dedup": q.q_substring_dedup,
         "quality_filter_counts": q.q_quality_filter_counts,
         "events_tumbling": q.q_events_tumbling,
         "events_sliding": q.q_events_sliding,
@@ -469,17 +473,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS BIGINT) AS sum_bpe_tokens
             FROM documents GROUP BY lang
         """,
-        "quality_hist": r"""
-            WITH m AS (
-                SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-                       length(text) AS n_chars,
-                       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+        # the whole ExactSubstr chain by gram-STRING equality (the
+        # engine's 64-bit rolling fingerprints stand in for it):
+        # duplicated 8-grams -> flagged positions -> gaps-and-islands
+        # span merge per doc
+        "substring_dedup": r"""
+            WITH w AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
                 FROM documents
+            ), g AS (
+                SELECT doc_id, i - 1 AS pos,
+                       array_to_string(ws[i:i+7], ' ') AS gram
+                FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+                WHERE len(ws) >= 8
+            ), d AS (
+                SELECT gram FROM g GROUP BY gram
+                HAVING count(*) >= 2 AND count(DISTINCT doc_id) >= 2
+            ), f AS (
+                SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)
+            ), m AS (
+                SELECT doc_id, pos,
+                       MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+                FROM f
+            ), isl AS (
+                SELECT doc_id, pos,
+                       SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM m
             )
-            SELECT CAST(floor(least(n_tokens, 100) / 100.0
-                          * (1.0 - n_upper / greatest(n_chars, 1.0)) * 10.0) AS BIGINT) AS bucket,
-                   count(*) AS n
-            FROM m GROUP BY 1
+            SELECT doc_id, MIN(pos) AS span_start, MAX(pos + 8) AS span_end
+            FROM isl GROUP BY doc_id, island
         """,
         "quality_filter_counts": r"""
             WITH m AS (

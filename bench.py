@@ -83,6 +83,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "dedup_exact": lambda: q.q_dedup_exact(sf_dir),
         "dedup_minhash": lambda: q.q_dedup_minhash(sf_dir),
         "dedup_simhash": lambda: q.q_dedup_simhash(sf_dir),
+        "dedup_substring": lambda: q.q_substring_dedup(sf_dir),
         "knn_cosine": lambda: q.q_knn_cosine(sf_dir),
         "text_analysis": lambda: q.q_quality_hist(sf_dir),
         "sessionize": lambda: q.q_sessionize(sf_dir),

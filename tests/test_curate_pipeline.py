@@ -87,6 +87,36 @@ def test_curate_corpus_near_dedup():
     assert len(dropped) > 0  # the fixture contains near-dups
 
 
+def test_curate_corpus_substring_cut():
+    """Opt-in ExactSubstr pass: curate(substring_k=8) equals running
+    the span cut manually first, then the plain chain — boilerplate
+    runs vanish from survivor texts before analysis and dedup."""
+    from tilecloud_chain_ray.stages.substring_dedup import (
+        cut_duplicate_spans,
+        dedup_substring_spans,
+    )
+
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    got = curate_corpus(
+        docs, quality_min=0.0, substring_k=8, substring_winnow=None
+    ).survivors.to_pandas()
+
+    pre = docs.materialize()
+    spans = dedup_substring_spans(pre, k=8)
+    cut_docs = cut_duplicate_spans(pre, spans)
+    want = curate_corpus(cut_docs, quality_min=0.0).survivors.to_pandas()
+
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+    # the fixture really contains cross-doc duplicated runs
+    raw = {r["doc_id"]: r["text"] for r in pre.take_all()}
+    assert any(raw[d] != t for d, t in zip(got["doc_id"], got["text"]))
+
+
 def test_curate_corpus_lm_filter():
     """Opt-in perplexity cut: survivors are a subset of the no-cut run
     with identical schema, and a tight ceiling drops rows."""

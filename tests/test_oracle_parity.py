@@ -80,6 +80,31 @@ def test_rows_only_queries_run():
         assert df is not None
 
 
+# quality_hist left the 50-entry driver registry when substring_dedup
+# joined it; its SQL parity check lives on here so nothing regresses
+QUALITY_HIST_SQL = r"""
+    WITH m AS (
+        SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+        FROM documents
+    )
+    SELECT CAST(floor(least(n_tokens, 100) / 100.0
+                  * (1.0 - n_upper / greatest(n_chars, 1.0)) * 10.0) AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM m GROUP BY 1
+"""
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_hist_matches_sql():
+    from tilecloud_chain_ray import queries as q
+
+    engine_df = normalize(to_pandas(q.q_quality_hist(SF_DIR)))
+    oracle_df = normalize(oracle_run(QUALITY_HIST_SQL))
+    pd.testing.assert_frame_equal(engine_df, oracle_df, check_dtype=False, check_exact=True)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_entry_smoke():
     result = entrymod.entry()

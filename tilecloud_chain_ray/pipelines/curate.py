@@ -21,7 +21,10 @@ to ``n_buckets`` (never one Ray group per distinct md5 — see
 BASELINE.md's dedup ledger); every filter is fused into one
 ``map_batches`` pass over the text so bytes are read once.
 
-Near-dedup (``near_dedup_threshold``) composes with BOTH chains: here
+ExactSubstr span cutting (``substring_k``, stages/substring_dedup.py)
+opts in ahead of the whole chain so every downstream stat sees
+boilerplate-free text.  Near-dedup (``near_dedup_threshold``)
+composes with BOTH chains: here
 it runs inline after the exact pass; in ``curate_resumable`` it rides
 phase 2's recompute-on-resume model — pairs, clustering and the
 min-key survivor rule are deterministic functions of the committed
@@ -125,6 +128,8 @@ def curate_corpus(
     near_dedup_threshold: float | None = None,
     lm_max_ppl: float | None = None,
     lm_sample_max_docs: int = 50_000,
+    substring_k: int | None = None,
+    substring_winnow: int | None = 4,
 ) -> CurateResult:
     """Run the curation chain; see module docstring.
 
@@ -142,7 +147,26 @@ def curate_corpus(
     byte-trigram LM trains on the first ``lm_sample_max_docs`` rows of
     the RULE-FILTERED stream (the trusted slice) and rows above the
     perplexity ceiling are dropped before dedup (stages/lm.py).
+
+    ``substring_k`` (opt-in) runs the Lee-et-al ExactSubstr pass FIRST
+    — duplicated word runs (every ``substring_k``-gram occurring
+    twice+ across 2+ docs; ``substring_winnow`` anchors at scale) are
+    cut from the RAW text before analysis, so token counts, quality
+    scores and the content dedup all see boilerplate-free documents
+    (stages/substring_dedup.py).
     """
+
+    if substring_k is not None:
+        from tilecloud_chain_ray.stages.substring_dedup import (
+            cut_duplicate_spans,
+            dedup_substring_spans,
+        )
+
+        ds = ds.materialize()  # span detection + the cut share one input pass
+        spans = dedup_substring_spans(
+            ds, key_col=key_col, text_col=text_col, k=substring_k, winnow=substring_winnow
+        )
+        ds = cut_duplicate_spans(ds, spans, key_col=key_col, text_col=text_col)
 
     filtered = ds.map_batches(
         make_analyze_filter(key_col, text_col, group_col, quality_min, rep_max),

@@ -371,6 +371,19 @@ RANGES = [
 ]
 
 
+def q_substring_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact substring dedup (Lee et al. ExactSubstr semantics,
+    arXiv:2107.06499): maximal per-doc word spans whose every 8-gram
+    occurs >= 2 times across >= 2 documents.  Exact mode (winnow=None)
+    so the DuckDB oracle reproduces the whole chain by gram-string
+    equality; ``winnow`` is the at-scale variant (tested in
+    tests/test_substring_dedup.py)."""
+    from tilecloud_chain_ray.stages.substring_dedup import dedup_substring_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_substring_spans(docs, k=8)
+
+
 def q_quality_filter_counts(sf_dir: str) -> ray.data.Dataset:
     """Curation-filter composition: per-lang counts of documents whose
     quality score clears 0.5 (the filter step of a training-data

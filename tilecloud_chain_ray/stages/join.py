@@ -120,6 +120,15 @@ def hash_join(
     lmap, rmap = _column_maps(left_cols, right_cols, suffixes)
     out_schema = _output_schema(on, left_schema, right_schema, lmap, rmap, how)
 
+    # pad with TYPED nulls: pa.nulls(n) without a type gives the arrow
+    # null type, so every left block's schema differs from every right
+    # block's in the union — Ray then re-pickles the schema per block
+    # and its per-reduce schema dedup ("Failed to hash the schemas")
+    # silently degrades, the same failure read_parquet_clean stamps out
+    # at the read layer (tests/test_schema_hygiene.py)
+    ltypes = dict(zip(left_schema.names, left_schema.types))
+    rtypes = dict(zip(right_schema.names, right_schema.types))
+
     def widen(side: int):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
@@ -128,10 +137,10 @@ def hash_join(
                 for c in left_cols:
                     cols[lmap[c]] = batch[c]
                 for c in right_cols:
-                    cols[rmap[c]] = pa.nulls(n)
+                    cols[rmap[c]] = pa.nulls(n, type=rtypes[c])
             else:
                 for c in left_cols:
-                    cols[lmap[c]] = pa.nulls(n)
+                    cols[lmap[c]] = pa.nulls(n, type=ltypes[c])
                 for c in right_cols:
                     cols[rmap[c]] = batch[c]
             cols["__bucket"] = batch["__bucket"]

@@ -1,0 +1,365 @@
+"""Exact substring deduplication: find (and optionally cut) word
+spans that occur verbatim more than once across a corpus.
+
+The operator family of Lee et al., "Deduplicating Training Data Makes
+Language Models Better" (arXiv:2107.06499): their ExactSubstr pass
+builds a corpus-wide suffix array and removes every duplicated token
+run >= a threshold length.  A suffix array is a single shared index —
+the wrong shape for a 100-TB Ray pipeline — so this module expresses
+the same semantics as fingerprint shuffles:
+
+1. ``window_fingerprints`` — one rolling 64-bit hash per k-word
+   window of every document (vectorized Horner over per-word hashes;
+   the only per-row Python is the unavoidable string split).  For
+   scale, ``winnow=w`` keeps only the winnowing anchors of Schleimer
+   et al. (SIGMOD 2003): the minimum fingerprint of each w-window of
+   consecutive positions.  Guarantee: any shared run of at least
+   ``k + w - 1`` words shares an anchor, so no long duplicate is
+   missed while the shuffled row count drops ~w-fold.
+2. ``duplicated_window_positions`` — a salted bucket groupby
+   (``fp % n_buckets``) marks every (doc, pos) whose fingerprint
+   occurs >= ``min_count`` times (optionally across >= 2 distinct
+   docs).  Distinct Ray groups are bounded by ``n_buckets``, never by
+   fingerprint cardinality; the per-bucket kernel is one lexsort +
+   reduceat pass over the whole bucket.
+3. ``merge_duplicate_spans`` — flagged positions merge into maximal
+   per-doc intervals (vectorized gaps-and-islands: a key-offset trick
+   makes one global ``np.maximum.accumulate`` serve every doc in the
+   bucket at once).
+4. ``cut_duplicate_spans`` — drop the flagged words from the text
+   (remove-all semantics: duplicated boilerplate vanishes from every
+   occurrence, the RefinedWeb reading of ExactSubstr).
+
+Fingerprint equality stands in for string equality: a false merge
+needs a 64-bit collision between two k-grams that also survives
+span-level review — negligible at any practical corpus size, and the
+small-scale oracle (`queries.q_substring_dedup`) verifies the whole
+chain against DuckDB string equality exactly.
+
+Partitioning assumptions: one fingerprint's occurrence list fits in
+its bucket's group (a fingerprint duplicated across half the corpus
+is stop-boilerplate; raise ``n_buckets`` or pre-filter such grams),
+and one doc's flagged positions fit in its key bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from tilecloud_chain_ray.stages.curation import _WS_RE
+from tilecloud_chain_ray.stages.sessionize import _key_buckets
+from tilecloud_chain_ray.util import default_buckets
+
+# Horner base for the rolling window hash (FNV-1a's 64-bit prime);
+# uint64 arithmetic wraps mod 2^64.
+_B = np.uint64(0x100000001B3)
+
+
+def _batch_window_hashes(
+    texts: list[str], k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_index, pos_in_doc, fp) for every k-word window of every
+    text, vectorized across the whole batch: per-word hashes come from
+    one ``pd.util.hash_array`` call over the batch's flattened words,
+    window hashes from k shifted multiply-adds over the concat array,
+    windows crossing document boundaries masked out."""
+    words_per_doc = [_WS_RE.split(t.strip(" ")) if t is not None else [] for t in texts]
+    counts = np.fromiter((len(w) for w in words_per_doc), np.int64, len(words_per_doc))
+    total = int(counts.sum())
+    if total < k:
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, np.uint64)
+    flat = np.empty(total, dtype=object)
+    at = 0
+    for ws in words_per_doc:
+        flat[at : at + len(ws)] = ws
+        at += len(ws)
+    wh = pd.util.hash_array(flat)  # uint64, one C pass
+    m = total - k + 1
+    fp = np.zeros(m, np.uint64)
+    for j in range(k):
+        fp = fp * _B + wh[j : j + m]
+    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    valid = doc_idx[:m] == doc_idx[k - 1 :]
+    starts = np.flatnonzero(valid)
+    docs = doc_idx[starts]
+    pos = starts - offsets[docs]
+    return docs, pos, fp[starts]
+
+
+def _winnow_anchors(
+    docs: np.ndarray, pos: np.ndarray, fp: np.ndarray, w: int
+) -> np.ndarray:
+    """Indices of winnowing anchors: per doc, the argmin fingerprint of
+    each window of ``w`` consecutive positions (deduplicated).  Docs
+    with fewer than ``w`` positions keep their single minimum so short
+    documents still participate."""
+    n = len(fp)
+    if n == 0:
+        return np.empty(0, np.int64)
+    keep: list[np.ndarray] = []
+    if n >= w:
+        sw = np.lib.stride_tricks.sliding_window_view(fp, w)
+        cand = np.arange(n - w + 1, dtype=np.int64) + np.argmin(sw, axis=1)
+        in_doc = docs[: n - w + 1] == docs[w - 1 :]
+        keep.append(cand[in_doc])
+    # per-doc minimum for docs shorter than w positions
+    doc_starts = np.flatnonzero(np.concatenate(([True], docs[1:] != docs[:-1])))
+    doc_lens = np.diff(np.concatenate((doc_starts, [n])))
+    short = doc_lens < w
+    if short.any():
+        for s, ln in zip(doc_starts[short], doc_lens[short]):
+            keep.append(np.array([s + int(np.argmin(fp[s : s + ln]))], np.int64))
+    return np.unique(np.concatenate(keep)) if keep else np.empty(0, np.int64)
+
+
+def window_fingerprints(
+    docs: ray.data.Dataset,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    winnow: int | None = None,
+) -> ray.data.Dataset:
+    """Dataset of ``(key, pos, fp)``: the rolling 64-bit fingerprint of
+    each k-word window (``winnow=w`` keeps only winnowing anchors —
+    every shared run of >= k+w-1 words still shares one)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        docs_i, pos, fp = _batch_window_hashes(texts, k)
+        if winnow is not None and winnow > 1 and len(fp):
+            sel = _winnow_anchors(docs_i, pos, fp, winnow)
+            docs_i, pos, fp = docs_i[sel], pos[sel], fp[sel]
+        keys = batch[key_col].take(pa.array(docs_i, pa.int64()))
+        return pa.Table.from_pydict(
+            {
+                key_col: keys,
+                "pos": pa.array(pos, pa.int64()),
+                "fp": pa.array(fp, pa.uint64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def duplicated_window_positions(
+    fps: ray.data.Dataset,
+    key_col: str = "doc_id",
+    min_count: int = 2,
+    cross_doc: bool = True,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Keep the ``(key, pos)`` of every window whose fingerprint occurs
+    >= ``min_count`` times (``cross_doc``: and in >= 2 distinct docs).
+    One salted shuffle; the kernel is a single lexsort + run-length
+    pass per bucket."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
+    nb = np.uint64(n_buckets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        fp = batch["fp"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__bucket", pa.array((fp % nb).astype(np.int64), pa.int64())
+        )
+
+    def bucket_dups(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame(
+                {key_col: pd.Series([], dtype="int64"), "pos": pd.Series([], dtype="int64")}
+            )
+        fp = group["fp"].to_numpy()
+        keys = group[key_col].to_numpy()
+        pos = group["pos"].to_numpy()
+        order = np.lexsort((keys, fp))
+        fp, keys, pos = fp[order], keys[order], pos[order]
+        n = len(fp)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = fp[1:] != fp[:-1]
+        run_starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.concatenate((run_starts, [n])))
+        ok = run_len >= min_count
+        if cross_doc:
+            new_doc = new_run.copy()
+            new_doc[1:] |= keys[1:] != keys[:-1]
+            ok &= np.add.reduceat(new_doc.astype(np.int64), run_starts) >= 2
+        keep = np.repeat(ok, run_len)
+        return pd.DataFrame({key_col: keys[keep], "pos": pos[keep]})
+
+    return (
+        fps.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_dups, batch_format="pandas")
+    )
+
+
+# positions/ends are offset per key rank by this so one global
+# maximum.accumulate serves every doc in a bucket (docs never exceed
+# 2^40 words)
+_KEY_OFF = np.int64(1) << np.int64(40)
+
+
+def merge_duplicate_spans(
+    dups: ray.data.Dataset,
+    k: int,
+    key_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Merge flagged window positions into maximal per-doc word spans:
+    ``(key, span_start, span_end)`` with ``span_end`` exclusive.  A
+    position p covers [p, p+k); overlapping / touching covers fuse."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        vals = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__bucket", pa.array(_key_buckets(vals, n_buckets), pa.int64())
+        )
+
+    def bucket_spans(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype="int64"),
+                "span_start": pd.Series([], dtype="int64"),
+                "span_end": pd.Series([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        keys = group[key_col].to_numpy()
+        pos = group["pos"].to_numpy().astype(np.int64)
+        order = np.lexsort((pos, keys))
+        keys, pos = keys[order], pos[order]
+        n = len(keys)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        rank = np.cumsum(new_key) - 1
+        p_off = pos + rank * _KEY_OFF
+        run_max = np.maximum.accumulate(p_off + np.int64(k))
+        new_island = np.empty(n, dtype=bool)
+        new_island[0] = True
+        # a new key always opens an island: its first end exceeds every
+        # earlier offset range by construction of _KEY_OFF
+        new_island[1:] = p_off[1:] > run_max[:-1]
+        isl_starts = np.flatnonzero(new_island)
+        isl_last = np.concatenate((isl_starts[1:], [n])) - 1
+        return pd.DataFrame(
+            {
+                key_col: keys[isl_starts],
+                "span_start": pos[isl_starts],
+                "span_end": run_max[isl_last] - rank[isl_starts] * _KEY_OFF,
+            }
+        )
+
+    return (
+        dups.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_spans, batch_format="pandas")
+    )
+
+
+def dedup_substring_spans(
+    docs: ray.data.Dataset,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    winnow: int | None = None,
+    min_count: int = 2,
+    cross_doc: bool = True,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """The composed operator: duplicated word spans per document.
+    ``winnow=None`` fingerprints every position (exact: a span is
+    flagged iff each of its windows occurs >= min_count times);
+    ``winnow=w`` is the at-scale mode (anchors only — complete for
+    runs >= k+w-1 words)."""
+    fps = window_fingerprints(docs, key_col, text_col, k=k, winnow=winnow)
+    dups = duplicated_window_positions(
+        fps, key_col, min_count=min_count, cross_doc=cross_doc, n_buckets=n_buckets
+    )
+    return merge_duplicate_spans(dups, k, key_col, n_buckets=n_buckets)
+
+
+def cut_duplicate_spans(
+    docs: ray.data.Dataset,
+    spans: ray.data.Dataset,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Remove every flagged span's words from ``text_col`` (remove-all
+    semantics).  Spans pack to one compact string row per key (a
+    bounded-width join payload — no Arrow list columns through the
+    shuffle), left-join onto the docs by bucketed hash join, then one
+    splice pass per batch."""
+    from tilecloud_chain_ray.stages.join import hash_join
+
+    if n_buckets is None:
+        n_buckets = default_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        vals = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__bucket", pa.array(_key_buckets(vals, n_buckets), pa.int64())
+        )
+
+    def pack(group: pd.DataFrame) -> pa.Table:
+        # explicit Arrow types: an empty pandas object column would
+        # leave an un-unifiable `object` schema in the block stream
+        if group.empty:
+            return pa.Table.from_pydict(
+                {key_col: pa.array([], pa.int64()), "__spans": pa.array([], pa.string())}
+            )
+        g = group.sort_values([key_col, "span_start"], kind="mergesort")
+        packed = (
+            g.assign(__s=g["span_start"].astype(str) + ":" + g["span_end"].astype(str))
+            .groupby(key_col, sort=False)["__s"]
+            .agg(",".join)
+        )
+        return pa.Table.from_pydict(
+            {
+                key_col: pa.array(packed.index.to_numpy(), pa.int64()),
+                "__spans": pa.array(packed.to_numpy(), pa.string()),
+            }
+        )
+
+    packed = (
+        spans.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pack, batch_format="pandas")
+    )
+    # a typed empty seed keeps the join's right-side schema defined
+    # even when the corpus has zero duplicated spans (a fully-empty
+    # groupby output has no schema at all), without materializing
+    seed = ray.data.from_arrow(
+        pa.table({key_col: pa.array([], pa.int64()), "__spans": pa.array([], pa.string())})
+    )
+    joined = hash_join(docs, seed.union(packed), on=key_col, how="left", n_buckets=n_buckets)
+
+    def splice(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        spans_s = batch["__spans"].to_pylist()
+        out = []
+        for t, sp in zip(texts, spans_s):
+            if not sp or t is None:
+                out.append(t)
+                continue
+            ws = _WS_RE.split(t.strip(" "))
+            drop = np.zeros(len(ws), dtype=bool)
+            for part in sp.split(","):
+                s, e = part.split(":")
+                drop[int(s) : int(e)] = True
+            out.append(" ".join(w for w, d in zip(ws, drop) if not d))
+        t2 = batch.remove_column(batch.schema.get_field_index("__spans"))
+        return t2.set_column(
+            t2.schema.get_field_index(text_col), text_col, pa.array(out, pa.string())
+        )
+
+    return joined.map_batches(splice, batch_format="pyarrow")
