@@ -1,0 +1,163 @@
+"""SemDeDup: semantic deduplication of an embedding column (Abbas et
+al., "SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication", arXiv:2303.09540).
+
+The published recipe: k-means-cluster the (normalized) embeddings,
+compute pairwise cosine similarity WITHIN each cluster only, connect
+pairs above a threshold into duplicate groups, and keep one example
+per group — the paper keeps the member with the LOWEST cosine
+similarity to its cluster centroid (the least prototypical example
+carries the most extra information).
+
+Ray-Data shape: the quadratic work is confined to clusters, so the
+shuffle key is the cluster id — a BOUNDED key space (``n_clusters``),
+the cheap kind of groupby (cf. BASELINE.md's ledger; no salt needed).
+Centroids train on a bounded driver-side sample and broadcast via
+``ray.put`` exactly like the IVF index (stages/knn.py:199).  The
+partitioning assumption is the paper's own: ``n_clusters`` is chosen
+so an average cluster (~corpus/n_clusters rows) fits one worker's
+memory for the in-cluster matmul — at 100 TB that means scaling
+``n_clusters`` with the corpus, not the default 16.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from tilecloud_chain_ray.stages.knn import spherical_kmeans
+
+
+def _cluster_verdicts(
+    keys: np.ndarray, vecs: np.ndarray, centroid_sim: np.ndarray, threshold: float
+) -> np.ndarray:
+    """Boolean keep-mask for one cluster: union duplicate pairs
+    (cosine > threshold) into groups, keep the member with minimum
+    centroid similarity per group (ties: smallest key)."""
+    n = len(keys)
+    sims = vecs @ vecs.T
+    ii, jj = np.triu_indices(n, k=1)
+    dup = sims[ii, jj] > threshold
+    keep = np.ones(n, dtype=bool)
+    if not dup.any():
+        return keep
+    parent = np.arange(n)
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in zip(ii[dup], jj[dup]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.fromiter((find(i) for i in range(n)), np.int64, n)
+    # keeper per group: min (centroid_sim, key) — the paper's
+    # low-centroid-similarity survivor, deterministic on ties
+    order = np.lexsort((keys, centroid_sim, roots))
+    grp_sorted = roots[order]
+    first_of_group = np.empty(n, dtype=bool)
+    first_of_group[0] = True
+    first_of_group[1:] = grp_sorted[1:] != grp_sorted[:-1]
+    keep[:] = False
+    keep[order[first_of_group]] = True
+    # singletons are their own group and stay kept by the same rule
+    return keep
+
+
+def semdedup_verdicts(
+    ds: ray.data.Dataset,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    train_sample: int = 4096,
+    iters: int = 10,
+    seed: int = 5,
+) -> ray.data.Dataset:
+    """Per-row SemDeDup verdicts: ``(key, cluster, centroid_sim,
+    keep)``.  Filter ``keep`` for the deduplicated corpus; the dropped
+    rows are the semantic duplicates."""
+    sample_rows = ds.limit(train_sample).take_all()
+    train = np.stack([r[vec_col] for r in sample_rows]).astype(np.float64)
+    cent = spherical_kmeans(train, n_lists=n_clusters, iters=iters, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True).clip(1e-12)
+        scores = vecs @ c.T
+        cl = np.argmax(scores, axis=1)
+        return pa.Table.from_pydict(
+            {
+                key_col: batch[key_col],
+                "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+                "centroid_sim": pa.array(scores[np.arange(len(cl)), cl], pa.float64()),
+                "vec": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    def dedup_cluster(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="int64"),
+                    "cluster": pd.Series([], dtype="int64"),
+                    "centroid_sim": pd.Series([], dtype="float64"),
+                    "keep": pd.Series([], dtype="bool"),
+                }
+            )
+        keys = group[key_col].to_numpy()
+        cs = group["centroid_sim"].to_numpy()
+        vecs = np.stack(group["vec"].to_numpy())
+        keep = _cluster_verdicts(keys, vecs, cs, threshold)
+        return pd.DataFrame(
+            {
+                key_col: keys,
+                "cluster": group["cluster"].to_numpy(),
+                "centroid_sim": cs,
+                "keep": keep,
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pandas")
+    )
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    train_sample: int = 4096,
+    iters: int = 10,
+    seed: int = 5,
+) -> ray.data.Dataset:
+    """The filtered corpus: every input column, semantic duplicates
+    dropped (keeps the verdict pass's survivors via a bucketed semi
+    join on the key — the drop side is verdict-sized, not broadcast)."""
+    from tilecloud_chain_ray.stages.join import hash_join
+
+    verdicts = semdedup_verdicts(
+        ds,
+        key_col=key_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        n_clusters=n_clusters,
+        train_sample=train_sample,
+        iters=iters,
+        seed=seed,
+    )
+    keepers = verdicts.map_batches(
+        lambda b: b.filter(b["keep"]).select([key_col]), batch_format="pyarrow"
+    )
+    return hash_join(ds, keepers, on=key_col, how="inner")
