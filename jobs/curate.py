@@ -58,6 +58,12 @@ def main() -> None:
     ap.add_argument("--near-dedup", type=float, default=None, metavar="JACCARD",
                     help="also drop NEAR duplicates: MinHash pairs at this "
                          "Jaccard threshold -> clusters -> keep min key")
+    ap.add_argument("--substring-k", type=int, default=None, metavar="K",
+                    help="cut duplicated word runs first (ExactSubstr): "
+                         "every K-gram occurring twice+ across 2+ docs")
+    ap.add_argument("--substring-winnow", type=int, default=4, metavar="W",
+                    help="winnow window for --substring-k (anchors only; "
+                         "complete for runs >= K+W-1 words; 0 = exact)")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None)
     args = ap.parse_args()
@@ -102,6 +108,8 @@ def main() -> None:
         sample_rates=parse_rates(args.sample),
         shard_budget=args.shard_budget,
         near_dedup_threshold=args.near_dedup,
+        substring_k=args.substring_k,
+        substring_winnow=args.substring_winnow or None,
     )
     n_out = result.survivors.count()
     n_shards = None

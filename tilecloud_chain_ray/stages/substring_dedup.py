@@ -198,10 +198,6 @@ def duplicated_window_positions(
     )
 
 
-# positions/ends are offset per key rank by this so one global
-# maximum.accumulate serves every doc in a bucket (docs never exceed
-# 2^40 words)
-_KEY_OFF = np.int64(1) << np.int64(40)
 
 
 def merge_duplicate_spans(
@@ -241,12 +237,17 @@ def merge_duplicate_spans(
         new_key[0] = True
         new_key[1:] = keys[1:] != keys[:-1]
         rank = np.cumsum(new_key) - 1
-        p_off = pos + rank * _KEY_OFF
+        # offset each key's positions into a disjoint range so ONE
+        # global maximum.accumulate serves every doc in the bucket;
+        # sized from the data (max end + 1), not a fixed power of two —
+        # rank * off stays < n_keys * (longest doc) << 2^63
+        off = np.int64(int(pos.max()) + k + 1)
+        p_off = pos + rank * off
         run_max = np.maximum.accumulate(p_off + np.int64(k))
         new_island = np.empty(n, dtype=bool)
         new_island[0] = True
-        # a new key always opens an island: its first end exceeds every
-        # earlier offset range by construction of _KEY_OFF
+        # a new key always opens an island: its first offset position
+        # exceeds every earlier key's offset range by construction
         new_island[1:] = p_off[1:] > run_max[:-1]
         isl_starts = np.flatnonzero(new_island)
         isl_last = np.concatenate((isl_starts[1:], [n])) - 1
@@ -254,7 +255,7 @@ def merge_duplicate_spans(
             {
                 key_col: keys[isl_starts],
                 "span_start": pos[isl_starts],
-                "span_end": run_max[isl_last] - rank[isl_starts] * _KEY_OFF,
+                "span_end": run_max[isl_last] - rank[isl_starts] * off,
             }
         )
 
