@@ -117,6 +117,38 @@ def test_curate_corpus_substring_cut():
     assert any(raw[d] != t for d, t in zip(got["doc_id"], got["text"]))
 
 
+def test_curate_corpus_all_optins_compose(tmp_path):
+    """substring cut + LM ceiling + near-dedup in ONE run: executes
+    end-to-end with write + shards, survivors are a subset of the
+    substring-only run, schema and partition layout intact."""
+    out = str(tmp_path / "corpus")
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    full = curate_corpus(
+        docs,
+        out_dir=out,
+        quality_min=0.3,
+        substring_k=8,
+        substring_winnow=None,
+        lm_max_ppl=1e9,  # keep-all ceiling: exercises the stage, not the cut
+        near_dedup_threshold=0.8,
+        shard_budget=1000,
+        shard_bucket_size=64,
+    )
+    full_df = full.survivors.to_pandas()
+    base_df = curate_corpus(
+        docs, quality_min=0.3, substring_k=8, substring_winnow=None
+    ).survivors.to_pandas()
+    assert set(full_df["doc_id"]) <= set(base_df["doc_id"])
+    assert 0 < len(full_df) <= len(base_df)
+    assert sorted(full_df.columns) == sorted(base_df.columns)
+    langs = sorted(d.split("=")[1] for d in os.listdir(out) if d.startswith("lang="))
+    assert langs == sorted(full_df["lang"].unique())
+    sh = full.shards.to_pandas()
+    assert sorted(sh["doc_id"]) == sorted(full_df["doc_id"])
+
+
 def test_curate_corpus_lm_filter():
     """Opt-in perplexity cut: survivors are a subset of the no-cut run
     with identical schema, and a tight ceiling drops rows."""
