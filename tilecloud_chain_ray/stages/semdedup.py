@@ -38,10 +38,11 @@ def _cluster_verdicts(
     centroid similarity per group (ties: smallest key)."""
     n = len(keys)
     sims = vecs @ vecs.T
-    ii, jj = np.triu_indices(n, k=1)
-    dup = sims[ii, jj] > threshold
+    # only the above-threshold edges materialize (np.triu_indices
+    # would allocate two O(n^2) int64 arrays even for clean clusters)
+    ii, jj = np.nonzero(np.triu(sims > threshold, k=1))
     keep = np.ones(n, dtype=bool)
-    if not dup.any():
+    if len(ii) == 0:
         return keep
     parent = np.arange(n)
 
@@ -51,7 +52,7 @@ def _cluster_verdicts(
             a = parent[a]
         return a
 
-    for a, b in zip(ii[dup], jj[dup]):
+    for a, b in zip(ii, jj):
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             parent[rb] = ra
