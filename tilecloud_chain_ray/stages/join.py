@@ -346,14 +346,21 @@ def asof_join(
         if c in left_cols and pa.types.is_integer(t)
     }
 
+    # typed null pads, for the same reason as hash_join's widen():
+    # untyped pa.nulls() makes every left/right block schema diverge in
+    # the union and defeats Ray's per-reduce schema dedup
+    right_schema = right.schema()
+    ltypes = dict(zip(left_schema.names, left_schema.types))
+    rtypes = dict(zip(right_schema.names, right_schema.types))
+
     def widen(side: int):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
             cols: dict = {key: batch[key], ts: batch[ts], "__side": batch["__side"]}
             for c in left_cols:
-                cols[c] = batch[c] if side == 0 else pa.nulls(n)
+                cols[c] = batch[c] if side == 0 else pa.nulls(n, type=ltypes[c])
             for c in right_cols:
-                cols["r_" + c] = batch[c] if side == 1 else pa.nulls(n)
+                cols["r_" + c] = batch[c] if side == 1 else pa.nulls(n, type=rtypes[c])
             cols["__bucket"] = batch["__bucket"]
             return pa.Table.from_pydict(cols)
 
