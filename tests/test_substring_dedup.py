@@ -148,6 +148,51 @@ def test_edges_short_docs_and_no_dups():
     assert out == {0: "one two", 1: "a b c d e f g h i", 2: ""}
 
 
+def test_winnow_guarantee_property():
+    """Kernel-level winnowing property (Schleimer et al.): for ANY two
+    word sequences sharing a contiguous run of >= k+w-1 words, the
+    winnowed anchor fingerprint sets intersect on a fingerprint from
+    inside the shared run — randomized over run lengths, positions and
+    context contents."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tilecloud_chain_ray.stages.substring_dedup import (
+        _batch_window_hashes,
+        _winnow_anchors,
+    )
+
+    k, w = 5, 3
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        run_len=st.integers(k + w - 1, 25),
+        pre_a=st.integers(0, 12),
+        pre_b=st.integers(0, 12),
+        post_a=st.integers(0, 12),
+        post_b=st.integers(0, 12),
+    )
+    def check(seed, run_len, pre_a, pre_b, post_a, post_b):
+        rng = np.random.default_rng(seed)
+        vocab = [f"v{i}" for i in range(30)]
+        run = list(rng.choice(vocab, run_len))
+        doc_a = list(rng.choice(vocab, pre_a)) + run + list(rng.choice(vocab, post_a))
+        doc_b = list(rng.choice(vocab, pre_b)) + run + list(rng.choice(vocab, post_b))
+        texts = [" ".join(doc_a), " ".join(doc_b)]
+        docs, pos, fp = _batch_window_hashes(texts, k)
+        sel = _winnow_anchors(docs, pos, fp, w)
+        d, p, f = docs[sel], pos[sel], fp[sel]
+        # shared-run window fingerprints per doc (positions inside the run)
+        in_run_a = (d == 0) & (p >= pre_a) & (p <= pre_a + run_len - k)
+        in_run_b = (d == 1) & (p >= pre_b) & (p <= pre_b + run_len - k)
+        assert set(f[in_run_a]) & set(f[in_run_b]), (
+            seed, run_len, pre_a, pre_b, post_a, post_b
+        )
+
+    check()
+
+
 def test_volume_bucket_bounded():
     # 30k docs, ~3k distinct boilerplate sentences each duplicated into
     # two docs: distinct-fingerprint cardinality is row-scale, but the
