@@ -149,6 +149,61 @@ def test_curate_corpus_all_optins_compose(tmp_path):
     assert sorted(sh["doc_id"]) == sorted(full_df["doc_id"])
 
 
+def test_curate_corpus_semantic_dedup():
+    """Opt-in SemDeDup: survivors whose embedding is a semantic
+    duplicate (planted identical-up-to-noise vectors) drop via the
+    Bloom anti-join; a clean embedding table is a no-op."""
+    import pyarrow as pa
+
+    from tilecloud_chain_ray.stages.semdedup import semdedup_verdicts
+
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    base = curate_corpus(docs, quality_min=0.0).survivors.to_pandas()
+    base_ids = sorted(base["doc_id"])
+
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((len(base_ids), 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    # plant: pairs of consecutive base survivors share an embedding
+    for i in range(0, 10, 2):
+        vecs[i + 1] = vecs[i] + 1e-4 * rng.standard_normal(16)
+        vecs[i + 1] /= np.linalg.norm(vecs[i + 1])
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(base_ids, pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    )
+    got = curate_corpus(
+        docs, quality_min=0.0, embeddings=emb, semantic_threshold=0.95, semantic_clusters=4
+    ).survivors.to_pandas()
+    verd = semdedup_verdicts(emb, threshold=0.95, n_clusters=4).to_pandas()
+    dropped = set(verd.loc[~verd["keep"], "vec_id"])
+    assert len(dropped) >= 5  # the five planted pairs each lose one
+    assert set(got["doc_id"]) == set(base_ids) - dropped
+
+    # clean table (no vectors above threshold): identity
+    clean = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(base_ids, pa.int64()),
+                "embedding": pa.array(
+                    (rng.standard_normal((len(base_ids), 16))).tolist(),
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+    )
+    same = curate_corpus(
+        docs, quality_min=0.0, embeddings=clean, semantic_threshold=0.9999
+    ).survivors.to_pandas()
+    assert sorted(same["doc_id"]) == base_ids
+
+
 def test_curate_corpus_lm_filter():
     """Opt-in perplexity cut: survivors are a subset of the no-cut run
     with identical schema, and a tight ceiling drops rows."""

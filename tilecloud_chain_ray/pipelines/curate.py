@@ -130,6 +130,11 @@ def curate_corpus(
     lm_sample_max_docs: int = 50_000,
     substring_k: int | None = None,
     substring_winnow: int | None = 4,
+    embeddings: ray.data.Dataset | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_clusters: int = 16,
+    embedding_key_col: str = "vec_id",
+    embedding_vec_col: str = "embedding",
 ) -> CurateResult:
     """Run the curation chain; see module docstring.
 
@@ -154,6 +159,13 @@ def curate_corpus(
     cut from the RAW text before analysis, so token counts, quality
     scores and the content dedup all see boilerplate-free documents
     (stages/substring_dedup.py).
+
+    ``embeddings`` (opt-in) adds SemDeDup after the exact pass: the
+    embedding table's verdicts (stages/semdedup.py, keyed by
+    ``embedding_key_col`` = this chain's ``key_col`` values) mark
+    semantic duplicates, and the survivors anti-join the drop set
+    through the byte-gated Bloom machinery (stages/bloom.py) — the
+    drop side never broadcasts above the gate.
     """
 
     if substring_k is not None:
@@ -208,6 +220,25 @@ def curate_corpus(
         .groupby("_bucket")
         .map_groups(make_dedup_bucket(key_col), batch_format="pandas")
     )
+
+    if embeddings is not None:
+        from tilecloud_chain_ray.stages.bloom import bloom_anti_join
+        from tilecloud_chain_ray.stages.semdedup import semdedup_verdicts
+
+        verdicts = semdedup_verdicts(
+            embeddings,
+            key_col=embedding_key_col,
+            vec_col=embedding_vec_col,
+            threshold=semantic_threshold,
+            n_clusters=semantic_clusters,
+        )
+        drops = verdicts.map_batches(
+            lambda b: b.filter(pa.compute.invert(b["keep"])).select([embedding_key_col]),
+            batch_format="pyarrow",
+        )
+        survivors = bloom_anti_join(
+            survivors, drops, on=key_col, right_key_col=embedding_key_col
+        )
 
     if near_dedup_threshold is not None:
         from tilecloud_chain_ray.stages.components import near_dedup_survivors
