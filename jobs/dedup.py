@@ -48,6 +48,9 @@ def main() -> None:
                     help="substring: winnow window (0 = exact mode)")
     ap.add_argument("--cut", default=None, metavar="DIR",
                     help="substring: also write the span-cut corpus here")
+    ap.add_argument("--keep-first", action="store_true",
+                    help="substring: leave the min-(key,pos) occurrence of "
+                         "each duplicated window unflagged (one copy survives)")
     ap.add_argument("--n-clusters", type=int, default=16,
                     help="semantic: kmeans cluster count (scale with corpus)")
     ap.add_argument("--num-cpus", type=int,
@@ -97,7 +100,7 @@ def main() -> None:
 
         ds = ds.materialize()  # spans + optional cut share one input pass
         report = dedup_substring_spans(
-            ds, k=args.k, winnow=args.winnow or None
+            ds, k=args.k, winnow=args.winnow or None, keep_first=args.keep_first
         ).materialize()
         if args.cut:
             cut_duplicate_spans(ds, report).write_parquet(args.cut)

@@ -21,7 +21,7 @@ from tilecloud_chain_ray.stages.substring_dedup import (
 _WS = re.compile(r"[\t\n\f\r ]+")
 
 
-def _brute_spans(docs, k, min_count=2, cross_doc=True):
+def _brute_spans(docs, k, min_count=2, cross_doc=True, keep_first=False):
     occ = defaultdict(list)
     for d, t in docs:
         ws = _WS.split(t.strip(" "))
@@ -32,8 +32,10 @@ def _brute_spans(docs, k, min_count=2, cross_doc=True):
         if len(lst) >= min_count and (
             not cross_doc or len({d for d, _ in lst}) >= 2
         ):
+            canonical = min(lst) if keep_first else None
             for d, p in lst:
-                flagged[d].append(p)
+                if (d, p) != canonical:
+                    flagged[d].append(p)
     spans = []
     for d, ps in flagged.items():
         ps.sort()
@@ -93,6 +95,27 @@ def test_exact_spans_match_bruteforce():
     within = set(_take_spans(dedup_substring_spans(ds, k=8, cross_doc=False, n_buckets=8)))
     cross = set(_take_spans(dedup_substring_spans(ds, k=8, cross_doc=True, n_buckets=8)))
     assert {d for d, _, _ in within - cross} == {100}
+
+
+def test_keep_first_spares_canonical_copy():
+    """keep_first=True matches the brute reference (min-(key,pos)
+    occurrence unflagged per window) and leaves the min-key doc of a
+    cross-doc shared run byte-identical through the cut."""
+    docs, _ = _mk_corpus()
+    ds = _ds_of(docs)
+    got = _take_spans(dedup_substring_spans(ds, k=8, keep_first=True, n_buckets=8))
+    assert got == _brute_spans(docs, 8, keep_first=True)
+    # planted docs 0,5,10,... share one run; doc 0 is the min key, so
+    # its copy is canonical for every window -> no spans, text intact
+    flagged_docs = {d for d, _, _ in got}
+    assert 0 not in flagged_docs
+    planted = {d for d, _ in docs[:40:5]}
+    assert planted - {0} <= flagged_docs
+    spans = dedup_substring_spans(ds, k=8, keep_first=True, n_buckets=8)
+    cleaned = {r["doc_id"]: r["text"] for r in cut_duplicate_spans(ds, spans, n_buckets=8).take_all()}
+    raw = dict(docs)
+    assert cleaned[0] == raw[0]
+    assert all(cleaned[d] != raw[d] for d in planted - {0})
 
 
 def test_winnow_guarantee_and_containment():

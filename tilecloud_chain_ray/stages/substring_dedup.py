@@ -26,9 +26,12 @@ the same semantics as fingerprint shuffles:
    per-doc intervals (vectorized gaps-and-islands: a key-offset trick
    makes one global ``np.maximum.accumulate`` serve every doc in the
    bucket at once).
-4. ``cut_duplicate_spans`` — drop the flagged words from the text
-   (remove-all semantics: duplicated boilerplate vanishes from every
-   occurrence, the RefinedWeb reading of ExactSubstr).
+4. ``cut_duplicate_spans`` — drop the flagged words from the text.
+   Default is remove-all (duplicated boilerplate vanishes from every
+   occurrence, the RefinedWeb reading of ExactSubstr);
+   ``keep_first=True`` elects the min-(key, pos) occurrence per
+   duplicated window as canonical so exactly one copy of the content
+   survives intact.
 
 Fingerprint equality stands in for string equality: a false merge
 needs a 64-bit collision between two k-grams that also survives
@@ -151,12 +154,23 @@ def duplicated_window_positions(
     key_col: str = "doc_id",
     min_count: int = 2,
     cross_doc: bool = True,
+    keep_first: bool = False,
     n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Keep the ``(key, pos)`` of every window whose fingerprint occurs
     >= ``min_count`` times (``cross_doc``: and in >= 2 distinct docs).
     One salted shuffle; the kernel is a single lexsort + run-length
-    pass per bucket."""
+    pass per bucket.
+
+    ``keep_first`` elects the lexicographically-min ``(key, pos)``
+    occurrence of each duplicated fingerprint as CANONICAL and does
+    not flag it, so downstream span cutting leaves one copy of the
+    content standing.  Because the election is per-window by the same
+    (key, pos) order, a run shared across documents stays fully intact
+    in the min-key document (every one of its windows elects that doc)
+    — the canonical copy is never shredded.  All occurrences in a
+    bucket see the same fingerprint group, so the election needs no
+    extra shuffle."""
     if n_buckets is None:
         n_buckets = default_buckets()
     nb = np.uint64(n_buckets)
@@ -175,7 +189,7 @@ def duplicated_window_positions(
         fp = group["fp"].to_numpy()
         keys = group[key_col].to_numpy()
         pos = group["pos"].to_numpy()
-        order = np.lexsort((keys, fp))
+        order = np.lexsort((pos, keys, fp))
         fp, keys, pos = fp[order], keys[order], pos[order]
         n = len(fp)
         new_run = np.empty(n, dtype=bool)
@@ -189,6 +203,10 @@ def duplicated_window_positions(
             new_doc[1:] |= keys[1:] != keys[:-1]
             ok &= np.add.reduceat(new_doc.astype(np.int64), run_starts) >= 2
         keep = np.repeat(ok, run_len)
+        if keep_first:
+            # sorted by (fp, key, pos): the run's first row IS the
+            # min-(key, pos) occurrence — unflag it
+            keep &= ~new_run
         return pd.DataFrame({key_col: keys[keep], "pos": pos[keep]})
 
     return (
@@ -274,16 +292,24 @@ def dedup_substring_spans(
     winnow: int | None = None,
     min_count: int = 2,
     cross_doc: bool = True,
+    keep_first: bool = False,
     n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """The composed operator: duplicated word spans per document.
     ``winnow=None`` fingerprints every position (exact: a span is
     flagged iff each of its windows occurs >= min_count times);
     ``winnow=w`` is the at-scale mode (anchors only — complete for
-    runs >= k+w-1 words)."""
+    runs >= k+w-1 words); ``keep_first`` leaves the min-(key, pos)
+    occurrence of each duplicated window unflagged so one copy of the
+    content survives the cut."""
     fps = window_fingerprints(docs, key_col, text_col, k=k, winnow=winnow)
     dups = duplicated_window_positions(
-        fps, key_col, min_count=min_count, cross_doc=cross_doc, n_buckets=n_buckets
+        fps,
+        key_col,
+        min_count=min_count,
+        cross_doc=cross_doc,
+        keep_first=keep_first,
+        n_buckets=n_buckets,
     )
     return merge_duplicate_spans(dups, k, key_col, n_buckets=n_buckets)
 
