@@ -371,20 +371,60 @@ def cut_duplicate_spans(
     joined = hash_join(docs, seed.union(packed), on=key_col, how="left", n_buckets=n_buckets)
 
     def splice(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        spans_s = batch["__spans"].to_pylist()
-        out = []
-        for t, sp in zip(texts, spans_s):
-            if not sp or t is None:
-                out.append(t)
-                continue
-            ws = _WS_RE.split(t.strip(" "))
-            drop = np.zeros(len(ws), dtype=bool)
+        """Vectorized span cut: rows WITH spans go through one Arrow
+        split → flattened drop-mask (cumsum of +1/-1 deltas at span
+        bounds) → filter → rebuild-list → binary_join pipeline; rows
+        without spans pass through BYTE-IDENTICAL (split+rejoin would
+        normalize their whitespace).  The only per-row Python is
+        parsing the packed span strings — proportional to span count,
+        not text bytes."""
+        import pyarrow.compute as pc
+
+        spans_col = batch["__spans"]
+        t2 = batch.remove_column(batch.schema.get_field_index("__spans"))
+        has = pc.and_(spans_col.is_valid(), batch[text_col].is_valid())
+        if not pc.any(has).as_py():
+            return t2
+        sel = np.flatnonzero(has.to_numpy(zero_copy_only=False))
+        sub_text = batch[text_col].take(pa.array(sel, pa.int64()))
+        words = pc.split_pattern_regex(
+            pc.utf8_trim(sub_text, " "), pattern=r"[\t\n\f\r ]+"
+        )
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.values
+        total = len(flat)
+        # parse packed "s:e,..." strings into global delta positions
+        doc_i, s_list, e_list = [], [], []
+        for j, sp in enumerate(spans_col.take(pa.array(sel, pa.int64())).to_pylist()):
             for part in sp.split(","):
                 s, e = part.split(":")
-                drop[int(s) : int(e)] = True
-            out.append(" ".join(w for w, d in zip(ws, drop) if not d))
-        t2 = batch.remove_column(batch.schema.get_field_index("__spans"))
+                doc_i.append(j)
+                s_list.append(int(s))
+                e_list.append(int(e))
+        di = np.asarray(doc_i, np.int64)
+        delta = np.zeros(total + 1, np.int64)
+        np.add.at(delta, offsets[di] + np.asarray(s_list, np.int64), 1)
+        np.add.at(delta, offsets[di] + np.asarray(e_list, np.int64), -1)
+        keep_mask = np.cumsum(delta[:-1]) == 0
+        kept_vals = flat.filter(pa.array(keep_mask))
+        kept_per_doc = np.add.reduceat(
+            keep_mask.astype(np.int64), offsets[:-1]
+        ) if len(offsets) > 1 else np.empty(0, np.int64)
+        # reduceat over zero-length segments repeats the next value —
+        # correct them to 0 (a doc split to [] cannot happen: split of
+        # any string yields >= 1 token, so segments are never empty)
+        new_offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
+        rebuilt = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(new_offsets, pa.int32()), kept_vals
+            ),
+            " ",
+        )
+        out = batch[text_col].to_pylist()
+        for j, v in zip(sel, rebuilt.to_pylist()):
+            out[j] = v
         return t2.set_column(
             t2.schema.get_field_index(text_col), text_col, pa.array(out, pa.string())
         )
