@@ -279,6 +279,58 @@ def test_curate_resumable_near_dedup_equals_streaming(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_curate_resumable_substring_equals_streaming(tmp_path):
+    """ExactSubstr in the checkpointed chain: phase 0 commits the span
+    table once (atomic rename), a kill-and-resume run reuses it
+    (unchanged mtime — the corpus is never re-fingerprinted) and
+    produces exactly the streaming curate_corpus(substring_k) corpus,
+    text byte-equal."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from tilecloud_chain_ray.pipelines.curate import curate_corpus
+    from tilecloud_chain_ray.pipelines.curate_resumable import curate_resumable
+
+    src = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    step = (src.num_rows + 2) // 3
+    for i in range(3):
+        pq.write_table(src.slice(i * step, step), str(shard_dir / f"docs_{i}.parquet"))
+
+    kw = dict(quality_min=0.0, substring_k=8, substring_winnow=None)
+    out = str(tmp_path / "curated")
+    r1, s1 = curate_resumable(str(shard_dir), out, fail_partitions={1}, **kw)
+    assert r1 is None and s1["partitions_error"] == 1
+    spans_dir = os.path.join(out, "spans")
+    assert os.path.isdir(spans_dir)
+    mtime_before = os.path.getmtime(spans_dir)
+
+    r2, s2 = curate_resumable(str(shard_dir), out, **kw)
+    assert s2["partitions_skipped"] == 2 and s2["partitions_error"] == 0
+    assert os.path.getmtime(spans_dir) == mtime_before  # spans reused, not recomputed
+
+    stream = curate_corpus(
+        ray.data.read_parquet(str(shard_dir)),
+        quality_min=0.0,
+        substring_k=8,
+        substring_winnow=None,
+    ).survivors.to_pandas()
+    resumed = r2.survivors.to_pandas()
+    got = resumed.sort_values("doc_id").reset_index(drop=True)
+    want = stream.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+    # the cut actually changed text for at least one survivor
+    raw = {k: t for k, t in zip(src["doc_id"].to_pylist(), src["text"].to_pylist())}
+    assert any(raw[k] != t for k, t in zip(got["doc_id"], got["text"]))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_curate_resumable_shard_set_changes(tmp_path):
     """Resume identity is the shard PATH, not its sorted position:
     adding a shard that sorts FIRST and removing another between runs

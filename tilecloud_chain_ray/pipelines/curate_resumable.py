@@ -7,6 +7,13 @@ pipelines/density_resumable.py around it (reference analog: the
 PostgreSQL job resume of ``store/postgresql.py:443-477`` — completed
 work is never redone, failed work re-runs, commits are atomic renames):
 
+* **Phase 0 (opt-in ExactSubstr, committed once)**: with
+  ``substring_k`` the corpus-global span table (stages/
+  substring_dedup.py) is computed on the first attempt and committed
+  by atomic directory rename; phase-1 shard tasks apply it through a
+  per-worker-process cached span map, so resumes never re-fingerprint
+  the corpus and every attempt cuts identically.
+
 * **Phase 1 (expensive, per input shard, checkpointed)**: each input
   parquet shard runs the per-row leg of the chain — fused
   analyze/filter, benchmark decontamination, deterministic hash
@@ -63,6 +70,29 @@ def _shard_id(path: str) -> int:
     return int(hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12], 16)
 
 
+def _cut_with_committed_spans(
+    table: pa.Table, spans_dir: str, key_col: str, text_col: str
+) -> pa.Table:
+    """Apply a phase-0 COMMITTED span table to one raw shard: the
+    packed span map loads once per worker process (process_cached on
+    the spans path), rows get a ``__spans`` column from the map, and
+    the shared vectorized splice cuts the flagged words."""
+    from tilecloud_chain_ray.stages.substring_dedup import (
+        pack_spans_by_key,
+        splice_packed_spans,
+    )
+    from tilecloud_chain_ray.util import process_cached
+
+    span_map = process_cached(
+        ("curate-spans", spans_dir),
+        lambda: pack_spans_by_key(pq.read_table(spans_dir), key_col),
+    )
+    keys = table[key_col].to_numpy(zero_copy_only=False)
+    packed = [span_map.get(int(k)) for k in keys]
+    with_spans = table.append_column("__spans", pa.array(packed, pa.string()))
+    return splice_packed_spans(with_spans, text_col)
+
+
 def _phase1_shard(
     shard_path: str,
     partition_id: int,
@@ -77,11 +107,14 @@ def _phase1_shard(
     n_buckets: int,
     job_id: str,
     fail: bool,
+    spans_dir: str | None = None,
 ) -> dict:
     started = lin.now()
     try:
         table = pq.read_table(shard_path, columns=[key_col, group_col, text_col])
         n_in = table.num_rows
+        if spans_dir is not None:
+            table = _cut_with_committed_spans(table, spans_dir, key_col, text_col)
         t = make_analyze_filter(key_col, text_col, group_col, quality_min, rep_max)(table)
         if bench_shingles is not None:
             mask = contaminated_mask(t[text_col].to_pylist(), bench_shingles)
@@ -158,6 +191,9 @@ def curate_resumable(
     job_id: str = "curate-1",
     fail_partitions: set[int] | None = None,
     near_dedup_threshold: float | None = None,
+    substring_k: int | None = None,
+    substring_winnow: int | None = 4,
+    substring_keep_first: bool = False,
 ) -> tuple[CurateResult | None, dict]:
     """Run (or resume) the checkpointed curation job.
 
@@ -180,6 +216,48 @@ def curate_resumable(
     # wrong id).
     sids = [_shard_id(s) for s in shards]
     partials_dir = os.path.join(out_dir, "filtered")
+
+    # Phase 0 (opt-in ExactSubstr): the span table is corpus-global and
+    # expensive (a fingerprint pass over every raw byte), so it is
+    # computed ONCE per job and COMMITTED by atomic directory rename —
+    # a resumed run reuses the committed spans instead of re-reading
+    # the corpus, and every attempt cuts identically even if the shard
+    # set changes between attempts (spans are fixed at job creation;
+    # duplicates involving later-added shards are not cut — document
+    # before relying on mid-job shard additions).
+    spans_dir = None
+    if substring_k is not None:
+        from tilecloud_chain_ray.stages.substring_dedup import dedup_substring_spans
+
+        spans_dir = os.path.join(out_dir, "spans")
+        if not os.path.isdir(spans_dir):
+            docs_all = read_parquet_clean(shards, columns=[key_col, text_col])
+            spans = dedup_substring_spans(
+                docs_all,
+                key_col=key_col,
+                text_col=text_col,
+                k=substring_k,
+                winnow=substring_winnow,
+                keep_first=substring_keep_first,
+            ).materialize()
+            tmp = spans_dir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            if spans.count():
+                spans.write_parquet(tmp)
+            else:
+                # write an explicit empty typed file so phase 1 can
+                # always pq.read_table the committed directory
+                os.makedirs(tmp, exist_ok=True)
+                empty = pa.table(
+                    {
+                        key_col: pa.array([], pa.int64()),
+                        "span_start": pa.array([], pa.int64()),
+                        "span_end": pa.array([], pa.int64()),
+                    }
+                )
+                pq.write_table(empty, os.path.join(tmp, "empty.parquet"))
+            os.replace(tmp, spans_dir)  # commit
+
     done = lin.done_partitions(partials_dir)
     todo = [
         (pos, sid, s) for pos, (sid, s) in enumerate(zip(sids, shards)) if sid not in done
@@ -205,6 +283,7 @@ def curate_resumable(
                     n_buckets,
                     job_id,
                     pos in fail,
+                    spans_dir,
                 )
                 for pos, sid, shard in todo
             ]

@@ -373,64 +373,90 @@ def cut_duplicate_spans(
         pa.table({key_col: pa.array([], pa.int64()), "__spans": pa.array([], pa.string())})
     )
     joined = hash_join(docs, seed.union(packed), on=key_col, how="left", n_buckets=n_buckets)
+    return joined.map_batches(
+        lambda b: splice_packed_spans(b, text_col), batch_format="pyarrow"
+    )
 
-    def splice(batch: pa.Table) -> pa.Table:
-        """Vectorized span cut: rows WITH spans go through one Arrow
-        split → flattened drop-mask (cumsum of +1/-1 deltas at span
-        bounds) → filter → rebuild-list → binary_join pipeline; rows
-        without spans pass through BYTE-IDENTICAL (split+rejoin would
-        normalize their whitespace).  The only per-row Python is
-        parsing the packed span strings — proportional to span count,
-        not text bytes."""
-        import pyarrow.compute as pc
 
-        spans_col = batch["__spans"]
-        t2 = batch.remove_column(batch.schema.get_field_index("__spans"))
-        has = pc.and_(spans_col.is_valid(), batch[text_col].is_valid())
-        if not pc.any(has).as_py():
-            return t2
-        sel = np.flatnonzero(has.to_numpy(zero_copy_only=False))
-        sub_text = batch[text_col].take(pa.array(sel, pa.int64()))
-        words = pc.split_pattern_regex(
-            pc.utf8_trim(sub_text, " "), pattern=r"[\t\n\f\r ]+"
-        )
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = words.values
-        total = len(flat)
-        # parse packed "s:e,..." strings into global delta positions
-        doc_i, s_list, e_list = [], [], []
-        for j, sp in enumerate(spans_col.take(pa.array(sel, pa.int64())).to_pylist()):
-            for part in sp.split(","):
-                s, e = part.split(":")
-                doc_i.append(j)
-                s_list.append(int(s))
-                e_list.append(int(e))
-        di = np.asarray(doc_i, np.int64)
-        delta = np.zeros(total + 1, np.int64)
-        np.add.at(delta, offsets[di] + np.asarray(s_list, np.int64), 1)
-        np.add.at(delta, offsets[di] + np.asarray(e_list, np.int64), -1)
-        keep_mask = np.cumsum(delta[:-1]) == 0
-        kept_vals = flat.filter(pa.array(keep_mask))
-        kept_per_doc = np.add.reduceat(
-            keep_mask.astype(np.int64), offsets[:-1]
-        ) if len(offsets) > 1 else np.empty(0, np.int64)
-        # reduceat over zero-length segments repeats the next value —
-        # correct them to 0 (a doc split to [] cannot happen: split of
-        # any string yields >= 1 token, so segments are never empty)
-        new_offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
-        rebuilt = pc.binary_join(
-            pa.ListArray.from_arrays(
-                pa.array(new_offsets, pa.int32()), kept_vals
-            ),
-            " ",
-        )
-        out = batch[text_col].to_pylist()
-        for j, v in zip(sel, rebuilt.to_pylist()):
-            out[j] = v
-        return t2.set_column(
-            t2.schema.get_field_index(text_col), text_col, pa.array(out, pa.string())
-        )
+def splice_packed_spans(batch: pa.Table, text_col: str) -> pa.Table:
+    """Vectorized span cut over a batch carrying a packed ``__spans``
+    column ("s:e,s:e" word ranges per row, null = no spans): rows WITH
+    spans go through one Arrow split → flattened drop-mask (cumsum of
+    +1/-1 deltas at span bounds) → filter → rebuild-list →
+    binary_join pipeline; rows without spans pass through
+    BYTE-IDENTICAL (split+rejoin would normalize their whitespace).
+    The only per-row Python is parsing the packed span strings —
+    proportional to span count, not text bytes.  Shared by the
+    streaming cut (:func:`cut_duplicate_spans`) and the checkpointed
+    chain's phase-1 shard tasks (pipelines/curate_resumable.py)."""
+    import pyarrow.compute as pc
 
-    return joined.map_batches(splice, batch_format="pyarrow")
+    spans_col = batch["__spans"]
+    if isinstance(spans_col, pa.ChunkedArray):
+        spans_col = spans_col.combine_chunks()
+    t2 = batch.remove_column(batch.schema.get_field_index("__spans"))
+    has = pc.and_(spans_col.is_valid(), batch[text_col].is_valid())
+    if not pc.any(has).as_py():
+        return t2
+    sel = np.flatnonzero(has.to_numpy(zero_copy_only=False))
+    sub_text = batch[text_col].take(pa.array(sel, pa.int64()))
+    words = pc.split_pattern_regex(
+        pc.utf8_trim(sub_text, " "), pattern=r"[\t\n\f\r ]+"
+    )
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.values
+    total = len(flat)
+    # parse packed "s:e,..." strings into global delta positions
+    doc_i, s_list, e_list = [], [], []
+    for j, sp in enumerate(spans_col.take(pa.array(sel, pa.int64())).to_pylist()):
+        for part in sp.split(","):
+            s, e = part.split(":")
+            doc_i.append(j)
+            s_list.append(int(s))
+            e_list.append(int(e))
+    di = np.asarray(doc_i, np.int64)
+    delta = np.zeros(total + 1, np.int64)
+    np.add.at(delta, offsets[di] + np.asarray(s_list, np.int64), 1)
+    np.add.at(delta, offsets[di] + np.asarray(e_list, np.int64), -1)
+    keep_mask = np.cumsum(delta[:-1]) == 0
+    kept_vals = flat.filter(pa.array(keep_mask))
+    kept_per_doc = np.add.reduceat(
+        keep_mask.astype(np.int64), offsets[:-1]
+    ) if len(offsets) > 1 else np.empty(0, np.int64)
+    # a doc split to [] cannot happen: split of any string yields
+    # >= 1 token, so reduceat never sees a zero-length segment
+    new_offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
+    rebuilt = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(new_offsets, pa.int32()), kept_vals),
+        " ",
+    )
+    out = batch[text_col].to_pylist()
+    for j, v in zip(sel, rebuilt.to_pylist()):
+        out[j] = v
+    return t2.set_column(
+        t2.schema.get_field_index(text_col), text_col, pa.array(out, pa.string())
+    )
+
+
+def pack_spans_by_key(spans: pa.Table, key_col: str = "doc_id") -> dict[int, str]:
+    """Driver/worker-side helper: a spans table → {key: "s:e,s:e"}
+    packed map (sorted by span_start per key).  Used by the
+    checkpointed chain to apply a COMMITTED span table inside phase-1
+    shard tasks; the map is dup-span-sized, not corpus-sized —
+    partition the span table by key hash if it ever outgrows a
+    worker's heap."""
+    keys = spans[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ss = spans["span_start"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ee = spans["span_end"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ss, keys))
+    keys, ss, ee = keys[order], ss[order], ee[order]
+    out: dict[int, str] = {}
+    starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+    ends = np.concatenate((starts[1:], [len(keys)]))
+    for a, b in zip(starts, ends):
+        out[int(keys[a])] = ",".join(
+            f"{s}:{e}" for s, e in zip(ss[a:b], ee[a:b])
+        )
+    return out
