@@ -105,6 +105,24 @@ def test_shard_filter_partition():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_layer_presence_filter():
+    """M4: rows without layer metadata drop; valued rows keep order
+    and payload (reference generate.py:278-283 slave skip)."""
+    import ray
+
+    from tilecloud_chain_ray.stages.shard import drop_layerless
+
+    t = pa.table(
+        {
+            "layer": pa.array(["a", None, "b", None], pa.string()),
+            "z": pa.array([0, 1, 2, 3], pa.int32()),
+        }
+    )
+    out = drop_layerless(ray.data.from_arrow(t)).take_all()
+    assert [(r["layer"], r["z"]) for r in out] == [("a", 0), ("b", 2)]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_manifest_and_server(tmp_path):
     from tilecloud_chain_ray.pipelines.generate import generate_tiles
 

@@ -29,3 +29,14 @@ def local_process_filter(nb_process: int, process_nb: int):
 
 def add_shard_filter(ds: ray.data.Dataset, nb_process: int, process_nb: int) -> ray.data.Dataset:
     return ds.map_batches(local_process_filter(nb_process, process_nb), batch_format="pyarrow")
+
+
+def drop_layerless(ds: ray.data.Dataset, layer_col: str = "layer") -> ray.data.Dataset:
+    """Layer-presence filter (M4): drop coord rows without layer
+    metadata — the reference slave skips queue messages missing the
+    ``layer`` key (``/root/reference/tilecloud_chain/generate.py:278-283``);
+    here the queue is the Dataset and the message key is a nullable
+    column."""
+    return ds.map_batches(
+        lambda b: b.filter(b[layer_col].is_valid()), batch_format="pyarrow"
+    )
