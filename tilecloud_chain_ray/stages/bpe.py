@@ -1,0 +1,225 @@
+"""Learned byte-pair encoding: train a subword vocabulary on a bounded
+sample, tokenize the corpus distributed.
+
+The published algorithm (Sennrich, Haddow & Birch, "Neural Machine
+Translation of Rare Words with Subword Units", ACL 2016; the GPT-2
+variant adds the regex pretokenizer this repo already shares with its
+SQL oracle, ``stages/text.BPE_TOKEN_PATTERN``): start from characters,
+repeatedly merge the most frequent adjacent symbol pair.
+
+Ray shape — the same train-small / apply-wide split as the IVF index
+and the CCNet LM (stages/knn.py, stages/lm.py): training runs on a
+bounded driver-side sample over the word-FREQUENCY table (cost is
+vocab-sized, not corpus-sized), the learned merge ranks broadcast via
+``ray.put`` once, and the encode stage is a ``map_batches`` pass whose
+per-batch work is dominated by one Arrow regex pretokenize + a
+unique-word encode (Zipf makes unique words per batch a small fraction
+of tokens; encoded words cache per worker process across batches)."""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from tilecloud_chain_ray.stages.text import BPE_TOKEN_PATTERN
+from tilecloud_chain_ray.util import process_cached
+
+_PRETOK_RE = re.compile(BPE_TOKEN_PATTERN)
+
+
+@dataclasses.dataclass(frozen=True)
+class BPETokenizer:
+    """Learned merge table.  ``ranks[(a, b)]`` = merge priority (lower
+    merges first); ``vocab`` maps symbol -> id (characters first, then
+    merged symbols in rank order)."""
+
+    merges: tuple[tuple[str, str], ...]
+    vocab: dict[str, int]
+
+    @property
+    def ranks(self) -> dict[tuple[str, str], int]:
+        return {pair: i for i, pair in enumerate(self.merges)}
+
+    def encode_word(self, word: str) -> list[str]:
+        """GPT-2-style greedy-by-rank merge of one pretoken."""
+        syms = list(word)
+        if len(syms) < 2:
+            return syms
+        ranks = self.ranks
+        while True:
+            best, best_rank = None, None
+            for pair in zip(syms, syms[1:]):
+                r = ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = pair, r
+            if best is None:
+                return syms
+            merged, out, i = best[0] + best[1], [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+            if len(syms) < 2:
+                return syms
+
+
+def _merge_word_freqs(
+    word_freqs: dict[str, int], num_merges: int
+) -> list[tuple[str, str]]:
+    """Sennrich training over a word-frequency table: symbol sequences
+    per word, incremental pair-count maintenance, deterministic ties
+    (max count, then lexicographically smallest pair)."""
+    seqs = {w: list(w) for w in word_freqs}
+    pair_counts: Counter = Counter()
+    for w, f in word_freqs.items():
+        s = seqs[w]
+        for p in zip(s, s[1:]):
+            pair_counts[p] += f
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] <= 0:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        for w, f in word_freqs.items():
+            s = seqs[w]
+            if len(s) < 2 or best[0] not in s:
+                continue
+            out, i, changed = [], 0, False
+            while i < len(s):
+                if i < len(s) - 1 and (s[i], s[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(s[i])
+                    i += 1
+            if changed:
+                for p in zip(s, s[1:]):
+                    pair_counts[p] -= f
+                for p in zip(out, out[1:]):
+                    pair_counts[p] += f
+                seqs[w] = out
+        pair_counts = +pair_counts  # drop zero/negative entries
+    return merges
+
+
+def train_bpe(
+    ds: "ray.data.Dataset | list[str]",
+    num_merges: int = 256,
+    text_col: str = "text",
+    sample_max_docs: int = 50_000,
+) -> BPETokenizer:
+    """Train on the first ``sample_max_docs`` rows (bounded driver-side
+    sample — standard subword practice: the merge table converges on a
+    sample long before corpus scale)."""
+    if isinstance(ds, list):
+        texts = ds
+    else:
+        texts = [
+            r[text_col] for r in ds.limit(sample_max_docs).take_all() if r[text_col]
+        ]
+    word_freqs = Counter()
+    for t in texts:
+        word_freqs.update(_PRETOK_RE.findall(t))
+    merges = _merge_word_freqs(dict(word_freqs), num_merges)
+    chars = sorted({c for w in word_freqs for c in w})
+    vocab = {c: i for i, c in enumerate(chars)}
+    for a, b in merges:
+        vocab[a + b] = len(vocab)
+    return BPETokenizer(merges=tuple(merges), vocab=vocab)
+
+
+def _encode_unique(
+    uniq: np.ndarray, tok: BPETokenizer, cache: dict[str, list[str]]
+) -> list[list[str]]:
+    out = []
+    for w in uniq:
+        got = cache.get(w)
+        if got is None:
+            got = tok.encode_word(w)
+            cache[w] = got
+        out.append(got)
+    return out
+
+
+def bpe_encode_counts(
+    ds: ray.data.Dataset,
+    tok: BPETokenizer,
+    text_col: str = "text",
+    out_col: str = "n_bpe_learned",
+) -> ray.data.Dataset:
+    """Append the LEARNED-BPE token count per row.  One compiled-regex
+    pretokenize per doc, then only the batch's UNIQUE pretokens are
+    encoded (per-worker-process cache across batches)."""
+    tok_ref = ray.put(tok)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = ray.get(tok_ref)
+        cache = process_cached(("bpe-cache", id(t)), dict)
+        texts = batch[text_col].to_pylist()
+        words_per_doc = [_PRETOK_RE.findall(x) if x else [] for x in texts]
+        counts = np.fromiter(
+            (len(w) for w in words_per_doc), np.int64, len(words_per_doc)
+        )
+        flat = np.array(
+            [w for ws in words_per_doc for w in ws], dtype=object
+        )
+        if len(flat) == 0:
+            return batch.append_column(
+                out_col, pa.array(np.zeros(len(texts), np.int64), pa.int64())
+            )
+        uniq, inv = np.unique(flat, return_inverse=True)
+        toks_per_uniq = np.fromiter(
+            (len(e) for e in _encode_unique(uniq, t, cache)), np.int64, len(uniq)
+        )
+        per_word = toks_per_uniq[inv]
+        # cumsum differencing (not reduceat): docs with zero pretokens
+        # would index reduceat past the end of per_word
+        csum = np.concatenate(([0], np.cumsum(per_word)))
+        ends = np.cumsum(counts)
+        n = csum[ends] - csum[ends - counts]
+        return batch.append_column(out_col, pa.array(n, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bpe_encode_ids(
+    ds: ray.data.Dataset,
+    tok: BPETokenizer,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> ray.data.Dataset:
+    """Append the LEARNED-BPE id sequence per row (``list<int32>``) —
+    the tokenize-for-training path that feeds sequence packing."""
+    tok_ref = ray.put(tok)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = ray.get(tok_ref)
+        cache = process_cached(("bpe-ids-cache", id(t)), dict)
+        vocab = t.vocab
+        out = []
+        for x in batch[text_col].to_pylist():
+            ids: list[int] = []
+            for w in _PRETOK_RE.findall(x) if x else []:
+                got = cache.get(w)
+                if got is None:
+                    got = [vocab[s] for s in t.encode_word(w)]
+                    cache[w] = got
+                ids.extend(got)
+            out.append(ids)
+        return batch.append_column(out_col, pa.array(out, pa.list_(pa.int32())))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
