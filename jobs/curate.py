@@ -64,6 +64,10 @@ def main() -> None:
     ap.add_argument("--substring-winnow", type=int, default=4, metavar="W",
                     help="winnow window for --substring-k (anchors only; "
                          "complete for runs >= K+W-1 words; 0 = exact)")
+    ap.add_argument("--bpe-merges", type=int, default=None, metavar="N",
+                    help="weight training shards by a learned-BPE token "
+                         "count (N merges trained on a sample) instead of "
+                         "whitespace tokens")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None)
     args = ap.parse_args()
@@ -110,6 +114,7 @@ def main() -> None:
         near_dedup_threshold=args.near_dedup,
         substring_k=args.substring_k,
         substring_winnow=args.substring_winnow or None,
+        bpe_merges=args.bpe_merges,
     )
     n_out = result.survivors.count()
     n_shards = None

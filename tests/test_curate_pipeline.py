@@ -149,6 +149,41 @@ def test_curate_corpus_all_optins_compose(tmp_path):
     assert sorted(sh["doc_id"]) == sorted(full_df["doc_id"])
 
 
+def test_curate_corpus_bpe_weighted_shards(tmp_path):
+    """Opt-in learned-BPE pack weights: shard assignment follows the
+    exclusive cumsum of n_bpe_learned (recomputed manually with the
+    same deterministic tokenizer); the written corpus schema is
+    unchanged."""
+    from tilecloud_chain_ray.stages.bpe import bpe_encode_counts, train_bpe
+
+    out = str(tmp_path / "corpus")
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    kw = dict(quality_min=0.3, shard_budget=500, shard_bucket_size=64)
+    base = curate_corpus(docs, out_dir=out, **kw)
+    got = curate_corpus(docs, bpe_merges=64, **kw)
+    # corpus schema identical with or without the opt-in
+    assert sorted(got.survivors.to_pandas().columns) == sorted(
+        base.survivors.to_pandas().columns
+    )
+    sh = got.shards.to_pandas().sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    # recompute weights with the same deterministic tokenizer
+    surv = got.survivors.materialize()
+    tok = train_bpe(surv, num_merges=64)
+    w = (
+        bpe_encode_counts(surv, tok)
+        .to_pandas()[["doc_id", "lang", "n_bpe_learned"]]
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert sh["doc_id"].tolist() == w["doc_id"].tolist()
+    for lang, sub in sh.groupby("lang"):
+        weights = w.loc[w["lang"] == lang, "n_bpe_learned"].to_numpy(np.int64)
+        excl = np.concatenate(([0], np.cumsum(weights)[:-1]))
+        assert (sub["shard"].to_numpy() == excl // 500).all()
+
+
 def test_curate_corpus_semantic_dedup():
     """Opt-in SemDeDup: survivors whose embedding is a semantic
     duplicate (planted identical-up-to-noise vectors) drop via the

@@ -135,6 +135,8 @@ def curate_corpus(
     semantic_clusters: int = 16,
     embedding_key_col: str = "vec_id",
     embedding_vec_col: str = "embedding",
+    bpe_merges: int | None = None,
+    bpe_sample_max_docs: int = 50_000,
 ) -> CurateResult:
     """Run the curation chain; see module docstring.
 
@@ -265,11 +267,27 @@ def curate_corpus(
     if shard_budget is not None:
         from tilecloud_chain_ray.stages.scan import pack_shards
 
+        pack_input, weight_col = survivors, "n_tokens"
+        if bpe_merges is not None:
+            # token-exact packing: weight shards by LEARNED-BPE counts
+            # (stages/bpe.py — sample-trained, broadcast, distributed
+            # encode).  The count column feeds only the packer; the
+            # written corpus schema stays identical with or without it.
+            from tilecloud_chain_ray.stages.bpe import bpe_encode_counts, train_bpe
+
+            tok = train_bpe(
+                survivors,
+                num_merges=bpe_merges,
+                text_col=text_col,
+                sample_max_docs=bpe_sample_max_docs,
+            )
+            pack_input = bpe_encode_counts(survivors, tok, text_col=text_col)
+            weight_col = "n_bpe_learned"
         shards = pack_shards(
-            survivors,
+            pack_input,
             group_col,
             key_col,
-            "n_tokens",
+            weight_col,
             budget=shard_budget,
             bucket_size=shard_bucket_size,
             pin_input=False,  # survivors are already a parquet read or materialized
