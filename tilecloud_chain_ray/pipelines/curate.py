@@ -162,6 +162,11 @@ def curate_corpus(
     scores and the content dedup all see boilerplate-free documents
     (stages/substring_dedup.py).
 
+    ``bpe_merges`` (opt-in) weights the shard packing by a LEARNED-BPE
+    token count (stages/bpe.py: sample-trained merge table, broadcast,
+    distributed encode) instead of whitespace tokens; the written
+    corpus schema is unchanged.
+
     ``embeddings`` (opt-in) adds SemDeDup after the exact pass: the
     embedding table's verdicts (stages/semdedup.py, keyed by
     ``embedding_key_col`` = this chain's ``key_col`` values) mark
