@@ -9,8 +9,8 @@ the wrong shape for a 100-TB Ray pipeline — so this module expresses
 the same semantics as fingerprint shuffles:
 
 1. ``window_fingerprints`` — one rolling 64-bit hash per k-word
-   window of every document (vectorized Horner over per-word hashes;
-   the only per-row Python is the unavoidable string split).  For
+   window of every document (one Arrow regex split + one hash_array
+   call + a vectorized Horner per batch — no per-row Python).  For
    scale, ``winnow=w`` keeps only the winnowing anchors of Schleimer
    et al. (SIGMOD 2003): the minimum fingerprint of each w-window of
    consecutive positions.  Guarantee: any shared run of at least
