@@ -14,10 +14,12 @@ shuffle key is the cluster id — a BOUNDED key space (``n_clusters``),
 the cheap kind of groupby (cf. BASELINE.md's ledger; no salt needed).
 Centroids train on a bounded driver-side sample and broadcast via
 ``ray.put`` exactly like the IVF index (stages/knn.py:199).  The
-partitioning assumption is the paper's own: ``n_clusters`` is chosen
-so an average cluster (~corpus/n_clusters rows) fits one worker's
-memory for the in-cluster matmul — at 100 TB that means scaling
-``n_clusters`` with the corpus, not the default 16.
+in-cluster pair extraction is BLOCKED (row blocks against the
+cluster, memory O(block x cluster), only above-threshold edges
+materialize), so a skewed cluster costs CPU, never an OOM.  The
+partitioning assumption is the paper's own: ``n_clusters`` scales
+with the corpus (the default 16 is a test-scale value) so the O(c^2)
+compute per cluster stays bounded.
 """
 
 from __future__ import annotations
@@ -37,10 +39,21 @@ def _cluster_verdicts(
     (cosine > threshold) into groups, keep the member with minimum
     centroid similarity per group (ties: smallest key)."""
     n = len(keys)
-    sims = vecs @ vecs.T
-    # only the above-threshold edges materialize (np.triu_indices
-    # would allocate two O(n^2) int64 arrays even for clean clusters)
-    ii, jj = np.nonzero(np.triu(sims > threshold, k=1))
+    # blocked pair extraction: a full n x n sims matrix is 8n^2 bytes
+    # (a 50k-row skewed cluster would be 20 GB) — compute row blocks
+    # against the whole cluster instead, so memory is O(block * n)
+    # while only above-threshold edges ever materialize
+    block = 2048
+    ii_parts, jj_parts = [], []
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        sims = vecs[s:e] @ vecs.T  # (e-s, n)
+        bi, bj = np.nonzero(sims > threshold)
+        up = s + bi < bj  # strict upper triangle only
+        ii_parts.append((s + bi)[up])
+        jj_parts.append(bj[up])
+    ii = np.concatenate(ii_parts) if ii_parts else np.empty(0, np.int64)
+    jj = np.concatenate(jj_parts) if jj_parts else np.empty(0, np.int64)
     keep = np.ones(n, dtype=bool)
     if len(ii) == 0:
         return keep
