@@ -997,13 +997,28 @@ def embedding_near_dup(
         order = np.argsort(ks)
         ks = ks[order]
         vecs = np.stack(group["vec"].to_numpy()[order])
-        if len(ks) < 2:
+        n = len(ks)
+        if n < 2:
             return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
-        sims = vecs @ vecs.T
-        ia, ib = np.triu_indices(len(ks), k=1)
-        ok = sims[ia, ib] >= threshold
+        # blocked extraction (cf. stages/semdedup._cluster_verdicts):
+        # memory O(block x n) instead of an n x n sims + two O(n^2)
+        # triu index arrays, so a hot LSH bucket costs CPU, not an OOM
+        block = 2048
+        ka, kb, cs = [], [], []
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sims = vecs[s:e] @ vecs.T
+            bi, bj = np.nonzero(sims >= threshold)
+            up = s + bi < bj
+            ka.append(ks[(s + bi)[up]])
+            kb.append(ks[bj[up]])
+            cs.append(sims[bi[up], bj[up]])
         return pd.DataFrame(
-            {"key_a": ks[ia][ok], "key_b": ks[ib][ok], "cosine": sims[ia, ib][ok]}
+            {
+                "key_a": np.concatenate(ka) if ka else [],
+                "key_b": np.concatenate(kb) if kb else [],
+                "cosine": np.concatenate(cs) if cs else [],
+            }
         )
 
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
