@@ -760,8 +760,8 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized popcount of a uint64 array."""
-    ham = np.zeros(len(x), dtype=np.int64)
+    """Vectorized popcount of a uint64 array (any shape)."""
+    ham = np.zeros(x.shape, dtype=np.int64)
     v = x.copy()
     for _ in range(64):
         ham += (v & np.uint64(1)).astype(np.int64)
@@ -792,14 +792,23 @@ def _block_run_pairs(
         kk, hh = kk[o2], hh[o2]
         uniq = np.r_[True, kk[1:] != kk[:-1]]
         kk, hh = kk[uniq], hh[uniq]
-        if len(kk) < 2:
+        m = len(kk)
+        if m < 2:
             continue
-        ia, ib = np.triu_indices(len(kk), k=1)
-        ham = _popcount64(hh[ia] ^ hh[ib])
-        ok = ham <= max_hamming
-        out_a.append(kk[ia][ok])
-        out_b.append(kk[ib][ok])
-        out_h.append(ham[ok])
+        # chunked all-pairs: triu_indices on a hot block value (a
+        # common quarter across near-identical media) allocates two
+        # O(m^2) int64 arrays; row chunks against the run keep the
+        # intermediates O(chunk x m) with the identical pair order
+        blk = 2048
+        for s2 in range(0, m, blk):
+            e2 = min(s2 + blk, m)
+            ham = _popcount64(hh[s2:e2, None] ^ hh[None, :])
+            bi, bj = np.nonzero(ham <= max_hamming)
+            up = s2 + bi < bj
+            bi, bj = bi[up], bj[up]
+            out_a.append(kk[s2 + bi])
+            out_b.append(kk[bj])
+            out_h.append(ham[bi, bj])
     if not out_a:
         z = np.array([], dtype=np.int64)
         return z, z, z
