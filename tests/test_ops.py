@@ -141,6 +141,46 @@ def test_simhash_distributed_path_matches_driver():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_hamming_hot_block_run_bounded():
+    """A hot 16-bit block value (20k hashes sharing one quarter — the
+    all-black-image shape) must complete in bounded memory/time via
+    the chunked kernel and return exactly the planted near pairs."""
+    import time
+
+    import numpy as np
+
+    from tilecloud_chain_ray.stages.dedup import hamming_blocked_pairs
+
+    rng = np.random.default_rng(5)
+    n = 20000
+    # quarter 0 identical everywhere (the hot run); the other 48 bits
+    # random -> expected hamming ~24 between random rows, far above 3
+    hashes = (rng.integers(0, 1 << 48, n, dtype=np.uint64) << np.uint64(16)).astype(
+        np.uint64
+    )
+    # plant 50 near pairs: copy with 2 flipped high bits
+    for i in range(50):
+        hashes[n - 50 + i] = hashes[i] ^ (np.uint64(0b101) << np.uint64(40))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "simhash": pa.array(hashes.astype(np.int64), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    t0 = time.perf_counter()
+    pairs = hamming_blocked_pairs(
+        ds, hash_col="simhash", max_hamming=3, force_distributed=True
+    ).to_pandas()
+    wall = time.perf_counter() - t0
+    got = {(a, b) for a, b in zip(pairs["key_a"], pairs["key_b"])}
+    assert {(i, n - 50 + i) for i in range(50)} <= got
+    # random 48-bit tails make accidental <=3 pairs vanishingly rare
+    assert len(got) < 200
+    assert wall < 120, wall
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_simhash_finds_exact_dups():
     table = docs_with_dups(100)
     ds = ray.data.from_arrow(table)

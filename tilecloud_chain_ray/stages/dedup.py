@@ -759,14 +759,17 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return table
 
 
+# 64 KiB table: popcount of every 16-bit value (fancy indexing over it
+# measured ~7x the old 64-round shift/accumulate loop and ~3x a SWAR
+# reduction — numpy uint64 multiplies don't vectorize well)
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], np.uint8)
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized popcount of a uint64 array (any shape)."""
-    ham = np.zeros(x.shape, dtype=np.int64)
-    v = x.copy()
-    for _ in range(64):
-        ham += (v & np.uint64(1)).astype(np.int64)
-        v >>= np.uint64(1)
-    return ham
+    """Vectorized popcount of a uint64 array (any shape), via four
+    16-bit table lookups per word."""
+    b = np.ascontiguousarray(x).view(np.uint16)
+    return _POP16[b].reshape(x.shape + (4,)).sum(-1, dtype=np.int64)
 
 
 def _block_run_pairs(
