@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from tilecloud_chain_ray.util import default_buckets
+from tilecloud_chain_ray.util import default_buckets, strip_meta
 
 logger = logging.getLogger(__name__)
 
@@ -293,6 +293,7 @@ def _expand_hot_bucket_pairs(
     # sort-based groupby pays per distinct key, so always group by a
     # small salted bucket and dedup vectorized inside it
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        batch = strip_meta(batch)  # upstream blocks are pandas-converted
         bucket = _pair_bucket_of(
             batch["key_a"].to_numpy(zero_copy_only=False),
             batch["key_b"].to_numpy(zero_copy_only=False),
@@ -942,6 +943,7 @@ def hamming_blocked_pairs(
     # sort groupby pays per distinct key — salt to 256 buckets and
     # reduce vectorized inside each (same lesson as the minhash path)
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        batch = strip_meta(batch)  # upstream blocks are pandas-converted
         bucket = _pair_bucket_of(
             batch["key_a"].to_numpy(zero_copy_only=False),
             batch["key_b"].to_numpy(zero_copy_only=False),

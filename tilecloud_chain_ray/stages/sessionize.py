@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from tilecloud_chain_ray.util import default_buckets
+from tilecloud_chain_ray.util import default_buckets, strip_meta
 
 
 def _key_buckets(values: np.ndarray, n_buckets: int) -> np.ndarray:
@@ -56,6 +56,7 @@ def session_counts(
         n_buckets = default_buckets()
 
     def tag(batch: pa.Table) -> pa.Table:
+        batch = strip_meta(batch)  # pandas-built inputs carry unhashable metadata
         vals = batch[key].to_numpy(zero_copy_only=False)
         return batch.append_column(
             "__bucket", pa.array(_key_buckets(vals, n_buckets), pa.int64())
@@ -103,6 +104,7 @@ def assign_sessions(
         n_buckets = default_buckets()
 
     def tag(batch: pa.Table) -> pa.Table:
+        batch = strip_meta(batch)  # pandas-built inputs carry unhashable metadata
         vals = batch[key].to_numpy(zero_copy_only=False)
         return batch.append_column(
             "__bucket", pa.array(_key_buckets(vals, n_buckets), pa.int64())

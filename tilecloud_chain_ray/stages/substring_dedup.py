@@ -53,7 +53,7 @@ import pyarrow as pa
 import ray
 
 from tilecloud_chain_ray.stages.sessionize import _key_buckets
-from tilecloud_chain_ray.util import default_buckets
+from tilecloud_chain_ray.util import default_buckets, strip_meta
 
 # Horner base for the rolling window hash (FNV-1a's 64-bit prime);
 # uint64 arithmetic wraps mod 2^64.
@@ -235,6 +235,7 @@ def merge_duplicate_spans(
         n_buckets = default_buckets()
 
     def tag(batch: pa.Table) -> pa.Table:
+        batch = strip_meta(batch)  # upstream blocks may be pandas-converted
         vals = batch[key_col].to_numpy(zero_copy_only=False)
         return batch.append_column(
             "__bucket", pa.array(_key_buckets(vals, n_buckets), pa.int64())
@@ -336,6 +337,7 @@ def cut_duplicate_spans(
         n_buckets = default_buckets()
 
     def tag(batch: pa.Table) -> pa.Table:
+        batch = strip_meta(batch)  # upstream blocks may be pandas-converted
         vals = batch[key_col].to_numpy(zero_copy_only=False)
         return batch.append_column(
             "__bucket", pa.array(_key_buckets(vals, n_buckets), pa.int64())

@@ -49,6 +49,18 @@ def default_buckets(floor: int = 32, per_core: float = 1.0) -> int:
     return max(floor, int(cpus * per_core))
 
 
+def strip_meta(batch):
+    """Drop Arrow schema metadata (zero-copy).  A pandas-converted
+    block (any ``map_groups(..., batch_format="pandas")`` output)
+    carries a ``b'pandas'`` metadata dict that makes its ``pa.Schema``
+    UNHASHABLE, which silently defeats Ray's per-reduce schema dedup in
+    any FOLLOWING shuffle ("Failed to hash the schemas ... unhashable
+    type: 'dict'") — the same failure ``read_parquet_clean`` stamps out
+    at the read layer.  Call at every shuffle entry point whose input
+    may have passed through a pandas stage."""
+    return batch.replace_schema_metadata(None) if batch.schema.metadata else batch
+
+
 def narrow_partials(ds, blocks: int | None = None):
     """Coalesce pre-aggregated partial blocks before a bounded-key
     groupby.
