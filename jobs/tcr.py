@@ -261,8 +261,11 @@ def cmd_jobs_serve(args) -> None:
     if args.commands:
         with open(args.commands) as fh:
             commands = json.load(fh)  # {name: argv_list} — the allow-list
-    srv = serve(args.root, port=args.port, host=args.host, commands=commands)
+    srv = serve(
+        args.root, port=args.port, host=args.host, commands=commands, token=args.token
+    )
     print(f"console on http://{args.host}:{srv.server_address[1]}", file=sys.stderr)
+    print(f"POST token: {srv.console.token}", file=sys.stderr)
     srv.serve_forever()
 
 
@@ -355,6 +358,11 @@ def main(argv=None) -> None:
         help="JSON file {name: argv_list}: the predefined-command allow-list "
         "served at /commands and runnable via POST /run?name=... "
         "(reference server.predefined_commands)",
+    )
+    jp.add_argument(
+        "--token",
+        help="shared secret required on POST routes (?token= or "
+        "X-Console-Token header); auto-generated and printed if omitted",
     )
     jp.set_defaults(fn=cmd_jobs_serve)
 

@@ -136,10 +136,37 @@ def test_http_surface(ray_session, tmp_path_factory):
         code, errs = get(f"/errors?dir={out}&n=5")
         assert code == 200 and len(errs) == 1
 
-        req = urllib.request.Request(base + f"/requeue?dir={out}", method="POST")
+        # POST without the shared-secret token: rejected (CSRF defense)
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(base + f"/requeue?dir={out}", method="POST"),
+                timeout=10,
+            )
+            raise AssertionError("tokenless POST should 401")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 401
+
+        token = srv.console.token
+        req = urllib.request.Request(
+            base + f"/requeue?dir={out}",
+            method="POST",
+            headers={"X-Console-Token": token},
+        )
         with urllib.request.urlopen(req, timeout=10) as resp:
             body = json.loads(resp.read())
         assert body["count"] == 1
+
+        # a foreign Host header (DNS rebinding) is rejected even on GET
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    base + "/jobs", headers={"Host": "evil.example.com"}
+                ),
+                timeout=10,
+            )
+            raise AssertionError("foreign Host should 403")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 403
 
         # mutations require POST; GET on /requeue is not routed
         try:
@@ -178,15 +205,26 @@ def test_predefined_commands(tmp_path):
     code, listing = c.handle("GET", "/commands", {})
     assert code == 200 and listing == {"commands": ["echo-version", "fail"]}
 
-    code, res = c.handle("POST", "/run", {"name": "echo-version"})
+    tok = {"token": c.token}
+    code, res = c.handle("POST", "/run", {"name": "echo-version", **tok})
     assert code == 200 and res["returncode"] == 0 and "tcr 4.0" in res["stdout"]
 
-    code, res = c.handle("POST", "/run", {"name": "fail"})
+    code, res = c.handle("POST", "/run", {"name": "fail", **tok})
     assert code == 200 and res["returncode"] == 3
 
     # NOT in the allow-list: refused, never executed
-    code, res = c.handle("POST", "/run", {"name": "rm -rf /"})
+    code, res = c.handle("POST", "/run", {"name": "rm -rf /", **tok})
     assert code == 403
+    # no/wrong token: refused before the allow-list is even consulted
+    code, res = c.handle("POST", "/run", {"name": "echo-version"})
+    assert code == 401
+    code, res = c.handle("POST", "/run", {"name": "echo-version", "token": "x"})
+    assert code == 401
+    # header auth works too
+    code, res = c.handle(
+        "POST", "/run", {"name": "echo-version"}, headers={"X-Console-Token": c.token}
+    )
+    assert code == 200
     # mutating route requires POST
     code, res = c.handle("GET", "/run", {"name": "echo-version"})
     assert code == 404

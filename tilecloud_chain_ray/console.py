@@ -169,11 +169,33 @@ class ConsoleServer:
     POST /run?name=<command>       -> run_predefined (allow-listed only)
 
     ``dir``/``path`` are validated against ``root`` (realpath prefix)
-    so the API can't be steered at arbitrary filesystem paths."""
+    so the API can't be steered at arbitrary filesystem paths.
 
-    def __init__(self, root: str, commands: dict[str, list[str]] | None = None) -> None:
+    State-changing routes (every POST) require a shared-secret token —
+    ``?token=`` or an ``X-Console-Token`` header — generated at
+    construction unless supplied.  Without it, any web page running in
+    a browser on the same host could fire a no-cors cross-origin POST
+    (CSRF) or use DNS rebinding to trigger allow-listed command
+    execution even on a 127.0.0.1 bind; the reference admin UI this
+    mirrors sits behind auth (``views/admin.py``)."""
+
+    def __init__(
+        self,
+        root: str,
+        commands: dict[str, list[str]] | None = None,
+        token: str | None = None,
+    ) -> None:
+        import secrets
+
         self.root = os.path.realpath(root)
         self.commands = dict(commands or {})
+        self.token = token if token is not None else secrets.token_hex(16)
+
+    def _authorized(self, params: dict[str, str], headers: dict[str, str]) -> bool:
+        import hmac
+
+        supplied = params.get("token") or headers.get("x-console-token") or ""
+        return hmac.compare_digest(supplied, self.token)
 
     def _check(self, path: str) -> str:
         real = os.path.realpath(path)
@@ -181,8 +203,17 @@ class ConsoleServer:
             raise PermissionError(f"{path} outside console root")
         return real
 
-    def handle(self, method: str, path: str, params: dict[str, str]) -> tuple[int, dict | list]:
+    def handle(
+        self,
+        method: str,
+        path: str,
+        params: dict[str, str],
+        headers: dict[str, str] | None = None,
+    ) -> tuple[int, dict | list]:
+        headers = {k.lower(): v for k, v in (headers or {}).items()}
         try:
+            if method == "POST" and not self._authorized(params, headers):
+                return 401, {"error": "missing or invalid console token"}
             if path == "/jobs" and method == "GET":
                 return 200, list_jobs(self.root)
             if path == "/status" and method == "GET":
@@ -214,19 +245,33 @@ def serve(
     port: int = 8081,
     host: str = "127.0.0.1",
     commands: dict[str, list[str]] | None = None,
+    token: str | None = None,
 ):
     """Blocking HTTP server wrapping :class:`ConsoleServer`.  Returns
-    the server object when ``port=0`` tests need the bound port."""
+    the server object (``srv.console.token`` carries the POST token;
+    ``port=0`` tests read the bound port).  Requests whose ``Host``
+    header doesn't name the bind address are rejected (DNS-rebinding
+    defense: a rebinding attack reaches the socket with the attacker's
+    hostname in ``Host``)."""
     import urllib.parse
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    console = ConsoleServer(root, commands=commands)
+    console = ConsoleServer(root, commands=commands, token=token)
+    allowed_hosts = {host, "localhost", "127.0.0.1", "::1"}
 
     class Handler(BaseHTTPRequestHandler):
         def _respond(self, method: str) -> None:
-            parsed = urllib.parse.urlsplit(self.path)
-            params = dict(urllib.parse.parse_qsl(parsed.query))
-            status, payload = console.handle(method, parsed.path, params)
+            req_host = (self.headers.get("Host") or "").rsplit(":", 1)[0]
+            if req_host not in allowed_hosts:
+                status, payload = 403, {
+                    "error": f"Host {req_host!r} does not match the bind address"
+                }
+            else:
+                parsed = urllib.parse.urlsplit(self.path)
+                params = dict(urllib.parse.parse_qsl(parsed.query))
+                status, payload = console.handle(
+                    method, parsed.path, params, headers=dict(self.headers)
+                )
             body = json.dumps(payload).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
@@ -243,4 +288,6 @@ def serve(
         def log_message(self, *a):  # quiet
             pass
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.console = console  # callers read srv.console.token for POSTs
+    return srv

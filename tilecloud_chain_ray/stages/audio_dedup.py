@@ -12,10 +12,15 @@ scaling, resampling and mild noise, and candidate pairs flow through
 Fingerprint (aHash-on-spectrogram): the clip is cut into 8 equal time
 slices; each slice's magnitude spectrum (numpy rfft) is pooled into 8
 log-spaced frequency bands; each of the 64 (time, band) log-energies
-is compared to the clip's median log-energy — volume scaling shifts
-every log-energy equally, so the bit pattern is gain-invariant by
-construction.  Resampling preserves the relative time/band energy
-layout (bands are defined as FRACTIONS of Nyquist).
+is compared to ITS BAND'S median over the 8 time slices — volume
+scaling shifts every log-energy equally, so the bit pattern is
+gain-invariant by construction, and the per-band baseline also
+cancels spectral tilt and band-wide noise floors.  Bands whose
+log-energy spread over time is below a small epsilon (silence /
+constant tone) contribute all-zero bits: their comparisons would
+otherwise be float-noise-determined and destabilize the hamming
+distance near the ``max_hamming`` cutoff.  Resampling preserves the
+time/band energy layout (bands are anchored at absolute Hz).
 """
 
 from __future__ import annotations
@@ -65,6 +70,12 @@ def audio_fingerprint64(samples: np.ndarray, rate: int) -> np.uint64:
             cells[t, b] = np.sum(mag[lo:hi] ** 2) / (hi - lo)
     logs = np.log10(cells + 1e-12)
     bits = logs > np.median(logs, axis=0, keepdims=True)
+    # a band with (near-)constant energy over time — silence, DC, a
+    # steady tone — has comparisons decided by float noise; zero its
+    # bits so two encodings of the same silent clip can't drift
+    # within the max_hamming budget
+    spread = logs.max(axis=0) - logs.min(axis=0)
+    bits[:, spread < 1e-6] = False
     by = np.packbits(bits.ravel().astype(np.uint8))
     return np.uint64(int.from_bytes(by.tobytes(), "big"))
 

@@ -41,9 +41,17 @@ class BPETokenizer:
     merges: tuple[tuple[str, str], ...]
     vocab: dict[str, int]
 
+    def __post_init__(self) -> None:
+        # precompute once per instance: the @property rebuilt this
+        # O(merges) dict on EVERY encode_word call (frozen dataclass,
+        # so set via object.__setattr__; excluded from eq/repr)
+        object.__setattr__(
+            self, "_ranks", {pair: i for i, pair in enumerate(self.merges)}
+        )
+
     @property
     def ranks(self) -> dict[tuple[str, str], int]:
-        return {pair: i for i, pair in enumerate(self.merges)}
+        return self._ranks
 
     def encode_word(self, word: str) -> list[str]:
         """GPT-2-style greedy-by-rank merge of one pretoken."""
@@ -167,8 +175,12 @@ def bpe_encode_counts(
     tok_ref = ray.put(tok)
 
     def fn(batch: pa.Table) -> pa.Table:
-        t = ray.get(tok_ref)
-        cache = process_cached(("bpe-cache", id(t)), dict)
+        # cache the TOKENIZER per worker keyed on the stable ObjectRef
+        # hex (ray.get returns a freshly deserialized object per call,
+        # so id()-keyed caches rebuilt every batch) — the pattern
+        # stages/curation.py uses for its broadcast state
+        t = process_cached(("bpe-tok", tok_ref.hex()), lambda: ray.get(tok_ref))
+        cache = process_cached(("bpe-cache", tok_ref.hex()), dict)
         texts = batch[text_col].to_pylist()
         words_per_doc = [_PRETOK_RE.findall(x) if x else [] for x in texts]
         counts = np.fromiter(
@@ -207,8 +219,8 @@ def bpe_encode_ids(
     tok_ref = ray.put(tok)
 
     def fn(batch: pa.Table) -> pa.Table:
-        t = ray.get(tok_ref)
-        cache = process_cached(("bpe-ids-cache", id(t)), dict)
+        t = process_cached(("bpe-tok", tok_ref.hex()), lambda: ray.get(tok_ref))
+        cache = process_cached(("bpe-ids-cache", tok_ref.hex()), dict)
         vocab = t.vocab
         out = []
         for x in batch[text_col].to_pylist():

@@ -380,17 +380,78 @@ def cut_duplicate_spans(
     )
 
 
+# whitespace byte values of the fingerprint split class [\t\n\f\r ]
+# (all ASCII, so byte-level scanning is UTF-8-safe: multibyte code
+# points never contain bytes < 0x80)
+_WS_BYTES = np.array([9, 10, 12, 13, 32], dtype=np.uint8)
+
+
+def _cut_spans_bytes(raw: bytes, spans: list[tuple[int, int]]) -> bytes:
+    """Cut word spans out of one document's raw UTF-8 bytes, keeping
+    every OTHER byte identical (the reference ExactSubstr removes only
+    the duplicated byte range; a split+rejoin would normalize all
+    whitespace).  Word indexing reproduces the fingerprint split
+    exactly — ``trim(" ")`` then split on ``[\\t\\n\\f\\r ]+`` — so
+    index j here is index j there, including the empty edge tokens a
+    doc with leading/trailing non-space whitespace produces.
+
+    Cut rule per merged span ``[s, e)``: remove ``[start(s), start(e))``
+    (the span's words plus the separator run before the next kept
+    word); a span reaching the last word removes its PRECEDING
+    separator run instead, so no dangling whitespace survives at
+    either side of a cut."""
+    b = np.frombuffer(raw, dtype=np.uint8)
+    n = len(b)
+    # trim(" ") bounds — spaces only, exactly like the fingerprint pass
+    nonspace = np.flatnonzero(b != 32)
+    if len(nonspace) == 0:
+        lo, hi = 0, 0
+    else:
+        lo, hi = int(nonspace[0]), int(nonspace[-1]) + 1
+    ws = np.isin(b[lo:hi], _WS_BYTES)
+    # whitespace-run bounds inside [lo, hi)
+    d = np.diff(ws.astype(np.int8))
+    run_s = np.flatnonzero(d == 1) + 1 + lo
+    run_e = np.flatnonzero(d == -1) + 1 + lo
+    if len(ws) and ws[0]:
+        run_s = np.concatenate(([lo], run_s))
+    if len(ws) and ws[-1]:
+        run_e = np.concatenate((run_e, [hi]))
+    # token j = [tok_s[j], tok_e[j]); p ws runs -> p+1 tokens, with
+    # empty edge tokens when the trimmed text starts/ends in ws
+    tok_s = np.concatenate(([lo], run_e)).astype(np.int64)
+    tok_e = np.concatenate((run_s, [hi])).astype(np.int64)
+    n_tok = len(tok_s)
+    cuts: list[tuple[int, int]] = []
+    for s, e in spans:
+        s = min(s, n_tok - 1)
+        e = min(e, n_tok)
+        if e < n_tok:
+            cuts.append((int(tok_s[s]), int(tok_s[e])))
+        else:
+            c0 = int(tok_e[s - 1]) if s > 0 else lo
+            cuts.append((c0, int(tok_e[e - 1])))
+    out, prev = [], 0
+    for c0, c1 in cuts:  # spans arrive sorted and non-touching
+        out.append(raw[prev:c0])
+        prev = max(prev, c1)
+    out.append(raw[prev:])
+    return b"".join(out)
+
+
 def splice_packed_spans(batch: pa.Table, text_col: str) -> pa.Table:
-    """Vectorized span cut over a batch carrying a packed ``__spans``
-    column ("s:e,s:e" word ranges per row, null = no spans): rows WITH
-    spans go through one Arrow split → flattened drop-mask (cumsum of
-    +1/-1 deltas at span bounds) → filter → rebuild-list →
-    binary_join pipeline; rows without spans pass through
-    BYTE-IDENTICAL (split+rejoin would normalize their whitespace).
-    The only per-row Python is parsing the packed span strings —
-    proportional to span count, not text bytes.  Shared by the
-    streaming cut (:func:`cut_duplicate_spans`) and the checkpointed
-    chain's phase-1 shard tasks (pipelines/curate_resumable.py)."""
+    """Span cut over a batch carrying a packed ``__spans`` column
+    ("s:e,s:e" word ranges per row, null = no spans).  Rows WITHOUT
+    spans pass through BYTE-IDENTICAL (no work at all); rows WITH
+    spans lose exactly the flagged words plus one adjoining separator
+    run per span (:func:`_cut_spans_bytes`) — all other bytes,
+    including newlines/tabs/paragraph whitespace, survive verbatim,
+    matching the reference ExactSubstr's remove-only-the-duplicate
+    semantics.  Cost is O(bytes of spanned rows) numpy scans; spanned
+    rows are the rare side of the corpus by construction.  Shared by
+    the streaming cut (:func:`cut_duplicate_spans`) and the
+    checkpointed chain's phase-1 shard tasks
+    (pipelines/curate_resumable.py)."""
     import pyarrow.compute as pc
 
     spans_col = batch["__spans"]
@@ -401,42 +462,15 @@ def splice_packed_spans(batch: pa.Table, text_col: str) -> pa.Table:
     if not pc.any(has).as_py():
         return t2
     sel = np.flatnonzero(has.to_numpy(zero_copy_only=False))
-    sub_text = batch[text_col].take(pa.array(sel, pa.int64()))
-    words = pc.split_pattern_regex(
-        pc.utf8_trim(sub_text, " "), pattern=r"[\t\n\f\r ]+"
-    )
-    if isinstance(words, pa.ChunkedArray):
-        words = words.combine_chunks()
-    offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = words.values
-    total = len(flat)
-    # parse packed "s:e,..." strings into global delta positions
-    doc_i, s_list, e_list = [], [], []
-    for j, sp in enumerate(spans_col.take(pa.array(sel, pa.int64())).to_pylist()):
-        for part in sp.split(","):
-            s, e = part.split(":")
-            doc_i.append(j)
-            s_list.append(int(s))
-            e_list.append(int(e))
-    di = np.asarray(doc_i, np.int64)
-    delta = np.zeros(total + 1, np.int64)
-    np.add.at(delta, offsets[di] + np.asarray(s_list, np.int64), 1)
-    np.add.at(delta, offsets[di] + np.asarray(e_list, np.int64), -1)
-    keep_mask = np.cumsum(delta[:-1]) == 0
-    kept_vals = flat.filter(pa.array(keep_mask))
-    kept_per_doc = np.add.reduceat(
-        keep_mask.astype(np.int64), offsets[:-1]
-    ) if len(offsets) > 1 else np.empty(0, np.int64)
-    # a doc split to [] cannot happen: split of any string yields
-    # >= 1 token, so reduceat never sees a zero-length segment
-    new_offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
-    rebuilt = pc.binary_join(
-        pa.ListArray.from_arrays(pa.array(new_offsets, pa.int32()), kept_vals),
-        " ",
-    )
+    sel_arr = pa.array(sel, pa.int64())
+    blobs = batch[text_col].take(sel_arr).cast(pa.binary()).to_pylist()
     out = batch[text_col].to_pylist()
-    for j, v in zip(sel, rebuilt.to_pylist()):
-        out[j] = v
+    for j, raw, sp in zip(sel, blobs, spans_col.take(sel_arr).to_pylist()):
+        spans = [
+            (int(s), int(e))
+            for s, e in (part.split(":") for part in sp.split(","))
+        ]
+        out[j] = _cut_spans_bytes(raw, spans).decode()
     return t2.set_column(
         t2.schema.get_field_index(text_col), text_col, pa.array(out, pa.string())
     )
