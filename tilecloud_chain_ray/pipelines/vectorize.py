@@ -34,6 +34,7 @@ from tilecloud_chain_ray.functions.cells import cell_id
 from tilecloud_chain_ray.functions.png import decode_png
 from tilecloud_chain_ray.grid import Grid
 from tilecloud_chain_ray.stages.render import BACKGROUND
+from tilecloud_chain_ray.util import binary_views
 
 
 def _pixel_rows_for_tile(
@@ -79,7 +80,7 @@ def vectorize_tiles(
         zs = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
         xs = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
         ys = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs = batch["data"].to_pylist()
+        blobs = binary_views(batch["data"])  # zero-copy buffer slices
         out_z, out_x, out_y, out_pc, out_pr, out_sh = [], [], [], [], [], []
         for i, blob in enumerate(blobs):
             if blob is None:
@@ -204,7 +205,7 @@ def tiles_to_polygons(
         zs = batch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
         xs = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
         ys = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs = batch["data"].to_pylist()
+        blobs = binary_views(batch["data"])  # zero-copy buffer slices
         rows: dict[str, list] = {"z": [], "x": [], "y": [], "n_pixels": [], "wkt": []}
         for i, blob in enumerate(blobs):
             if blob is None:

@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from tilecloud_chain_ray.util import default_buckets, strip_meta
+from tilecloud_chain_ray.util import default_buckets, strip_meta, vecs_from_arrow
 
 logger = logging.getLogger(__name__)
 
@@ -992,8 +992,9 @@ def embedding_near_dup(
 
     def bucket(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
-        vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
-        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True).clip(1e-12)
+        vecs = vecs_from_arrow(batch[vec_col], np.float64)
+        # out-of-place: vecs_from_arrow returns a read-only zero-copy view
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True).clip(1e-12)
         sig = (vecs @ pl > 0).astype(np.uint64)
         code = (sig << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
         return pa.Table.from_pydict(

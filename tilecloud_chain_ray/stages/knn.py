@@ -18,6 +18,7 @@ import pyarrow as pa
 import ray
 
 from tilecloud_chain_ray.functions.cells import cell_decode, grid_disk
+from tilecloud_chain_ray.util import vecs_from_arrow
 
 
 def knn_brute(
@@ -43,7 +44,7 @@ def knn_brute(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q, qids = ray.get(q_ref)
-        vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        vecs = vecs_from_arrow(batch[vec_col], np.float64)
         keys = batch[key_col].to_numpy(zero_copy_only=False)
         if metric == "cosine":
             vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True).clip(1e-12)
@@ -127,7 +128,7 @@ def knn_lsh(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         pl, q, qids, probe_codes = ray.get(shared)
-        vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        vecs = vecs_from_arrow(batch[vec_col], np.float64)
         keys = batch[key_col].to_numpy(zero_copy_only=False)
         vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True).clip(1e-12)
         codes = ((vn @ pl) > 0).astype(np.uint32)
@@ -239,7 +240,7 @@ def knn_ivf(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         c, q, qids, by_list = ray.get(shared)
-        vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        vecs = vecs_from_arrow(batch[vec_col], np.float64)
         keys = batch[key_col].to_numpy(zero_copy_only=False)
         vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True).clip(1e-12)
         lists = np.argmax(vn @ c.T, axis=1)
@@ -377,7 +378,7 @@ def knn_ivf_pq(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         c, bk, tables, q_off, q_true, qids, by_list = ray.get(shared)
-        vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        vecs = vecs_from_arrow(batch[vec_col], np.float64)
         keys = batch[key_col].to_numpy(zero_copy_only=False)
         vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True).clip(1e-12)
         lists = np.argmax(vn @ c.T, axis=1)

@@ -30,6 +30,7 @@ import pyarrow as pa
 import ray
 
 from tilecloud_chain_ray.stages.knn import spherical_kmeans
+from tilecloud_chain_ray.util import vecs_from_arrow
 
 
 def _cluster_verdicts(
@@ -103,8 +104,9 @@ def semdedup_verdicts(
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
-        vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
-        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True).clip(1e-12)
+        vecs = vecs_from_arrow(batch[vec_col], np.float64)
+        # out-of-place: vecs_from_arrow returns a read-only zero-copy view
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True).clip(1e-12)
         scores = vecs @ c.T
         cl = np.argmax(scores, axis=1)
         return pa.Table.from_pydict(

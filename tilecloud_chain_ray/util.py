@@ -154,3 +154,86 @@ def read_parquet_clean(paths, **kwargs):
     return ray.data.read_parquet(paths, **kwargs).map_batches(
         strip_schema_metadata, batch_format="pyarrow"
     )
+
+
+def vecs_from_arrow(col, dtype=None):
+    """Decode a ``list<float>`` / ``fixed_size_list<float, d>`` column
+    to a 2-D numpy array WITHOUT per-row Python objects.
+
+    The hot ingest path of every embedding operator (kNN, IVF, SemDeDup,
+    embedding near-dup): the old ``np.stack(col.to_pylist())`` built one
+    Python list per vector per batch — at 1e9 x 256-d that conversion
+    dominates the whole scan.  Here equal-width lists take the
+    zero-copy path: ``flatten()`` (offset-aware buffer slice) →
+    ``to_numpy()`` (no copy for non-null floats) → ``reshape(n, d)``;
+    the only copy is the optional dtype cast, one vectorized
+    ``astype``.  Ragged lists or lists with null rows fall back to the
+    object path (correctness unchanged).
+
+    ``dtype=None`` preserves the storage dtype (float32 stays float32);
+    pass ``np.float64`` where the math wants doubles.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    n = len(col)
+    listy = (
+        pa.types.is_fixed_size_list(t)
+        or pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+    )
+    if listy and col.null_count == 0:
+        if pa.types.is_fixed_size_list(t):
+            d = t.list_size
+        else:
+            widths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            d = int(widths[0]) if n and widths.min() == widths.max() else -1
+        if n == 0:
+            return np.empty((0, max(d, 0)), dtype=dtype or np.float64)
+        if d >= 0:
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            if flat.size == n * d:
+                out = flat.reshape(n, d)
+                return out if dtype is None else out.astype(dtype, copy=False)
+    # ragged / null / non-list fallback — the old object path
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype or np.float64)
+    out = np.stack(col.to_pylist())
+    return out if dtype is None else out.astype(dtype, copy=False)
+
+
+def binary_views(col):
+    """Zero-copy ``memoryview`` slices of a binary column (``None``
+    for null rows) — replaces ``to_pylist()``, which copies every
+    payload into a fresh Python ``bytes``.  Decode loops stay per-blob
+    by nature (one PNG/JPEG per row), but the batch's payload bytes
+    need never be duplicated: each view aliases the Arrow data buffer.
+    Non-binary columns fall back to ``to_pylist()``."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if not (pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        return col.to_pylist()
+    bufs = col.buffers()
+    odt = np.int64 if pa.types.is_large_binary(t) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=odt)[col.offset : col.offset + len(col) + 1]
+    # cast to unsigned-byte format: pyarrow buffers expose format 'b'
+    # (signed), under which memoryview == bytes compares item VALUES
+    # (-119 != 0x89) and magic-number checks silently fail
+    data = (
+        memoryview(bufs[2]).cast("B") if bufs[2] is not None else memoryview(b"")
+    )
+    valid = col.is_valid().to_numpy(zero_copy_only=False) if col.null_count else None
+    return [
+        None
+        if valid is not None and not valid[i]
+        else data[offs[i] : offs[i + 1]]
+        for i in range(len(col))
+    ]
