@@ -129,12 +129,22 @@ def train_bpe(
     num_merges: int = 256,
     text_col: str = "text",
     sample_max_docs: int = 50_000,
+    key_col: str = "doc_id",
 ) -> BPETokenizer:
-    """Train on the first ``sample_max_docs`` rows (bounded driver-side
-    sample — standard subword practice: the merge table converges on a
-    sample long before corpus scale)."""
+    """Train on a bounded driver-side sample (standard subword
+    practice: the merge table converges on a sample long before corpus
+    scale).  When ``key_col`` is present the sample is the
+    layout-independent bottom-n-by-hash set (``hash_sample_rows``) —
+    ``limit()`` would train the vocabulary on the FIRST input files
+    only, which on a source-sorted corpus skews the merges; without a
+    key column it falls back to the first rows."""
     if isinstance(ds, list):
         texts = ds
+    elif key_col in ds.schema().names:
+        from tilecloud_chain_ray.stages.curation import hash_sample_rows
+
+        tbl = hash_sample_rows(ds, sample_max_docs, key_col, cols=[text_col])
+        texts = [t for t in tbl[text_col].to_pylist() if t]
     else:
         texts = [
             r[text_col] for r in ds.limit(sample_max_docs).take_all() if r[text_col]

@@ -133,6 +133,73 @@ def hash_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def hash_sample_rows(
+    ds: ray.data.Dataset,
+    n: int,
+    key_col: str,
+    cols: list[str] | None = None,
+    oversample: float = 4.0,
+) -> pa.Table:
+    """Bounded driver-side sample for train-small/apply-wide stages
+    (IVF/PQ k-means, SemDeDup centroids, BPE merges): the ``n`` rows
+    with the SMALLEST multiplicative hash of ``key_col``.
+
+    ``ds.limit(n)`` takes the *first* n rows — i.e. the first input
+    files — so on a corpus sorted by crawl date or source the trained
+    centroids/merges see one biased slice and quality degrades
+    silently at scale.  A bottom-n-by-hash sample is a uniform
+    pseudo-random subset that is DETERMINISTIC and independent of
+    block layout, execution order and cluster size (same keep-set on
+    1 node or 256), the same property ``hash_sample`` gives the
+    streaming sampler.
+
+    Cost: one count + one filtered scan that ships ~``oversample * n``
+    rows to the driver (re-scanned with a doubled threshold in the
+    unlikely tail where the hash undershoots).  Returns a pyarrow
+    Table of ``cols`` (default: all columns).
+    """
+    total = ds.count()
+    want_cols = cols
+    if total <= n:
+        tbl = pa.Table.from_pylist(ds.take_all())
+        if want_cols:
+            tbl = tbl.select(want_cols)
+        return tbl
+
+    def filtered(thr: int) -> pa.Table:
+        def keep(batch: pa.Table) -> pa.Table:
+            ids = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = (ids * UX_MULT) % MICRO
+            out = batch if want_cols is None else batch.select(
+                list(dict.fromkeys([key_col, *want_cols]))
+            )
+            return out.filter(pa.array(h < thr)).append_column(
+                "__h", pa.array(h[h < thr], pa.int64())
+            )
+
+        parts = [
+            t
+            for t in ds.map_batches(keep, batch_format="pyarrow").to_arrow_refs()
+        ]
+        tbls = [t for t in ray.get(parts) if "__h" in t.schema.names]
+        return (
+            pa.concat_tables(tbls)
+            if tbls
+            else pa.table({"__h": pa.array([], pa.int64())})
+        )
+
+    thr = int(min(1.0, oversample * n / total) * MICRO)
+    got = filtered(thr)
+    while got.num_rows < n and thr < MICRO:
+        thr = min(MICRO, thr * 2)
+        got = filtered(thr)
+    order = pc.sort_indices(
+        got, sort_keys=[("__h", "ascending"), (key_col, "ascending")]
+    )
+    out = got.take(order[:n]).drop_columns(["__h"])
+    return out.select(want_cols) if want_cols else out
+
+
 # ---------------------------------------------------------------------------
 # exact grouped quantiles via count compression
 # ---------------------------------------------------------------------------

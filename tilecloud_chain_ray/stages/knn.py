@@ -221,11 +221,16 @@ def knn_ivf(
     construction; measure against :func:`knn_brute` (see tests).
     Output schema identical to ``knn_brute``.
     """
+    from tilecloud_chain_ray.stages.curation import hash_sample_rows
+
     queries = np.asarray(queries, dtype=np.float64)
     if query_ids is None:
         query_ids = np.arange(len(queries))
-    sample_rows = ds.limit(train_sample).take_all()
-    train = np.stack([r[vec_col] for r in sample_rows])
+    # layout-independent bottom-n-by-hash sample: limit() would train
+    # the quantizer on the FIRST input files only — biased centroids
+    # and silent recall loss on a source/date-sorted corpus
+    train_tbl = hash_sample_rows(ds, train_sample, key_col, cols=[vec_col])
+    train = vecs_from_arrow(train_tbl[vec_col], np.float64)
     cent = spherical_kmeans(train, n_lists=n_lists, seed=seed)
     qn = queries / np.linalg.norm(queries, axis=1, keepdims=True).clip(1e-12)
     nprobe = min(nprobe, len(cent))
@@ -342,11 +347,14 @@ def knn_ivf_pq(
     Output schema identical to ``knn_brute`` (scores are the ADC
     approximations).
     """
+    from tilecloud_chain_ray.stages.curation import hash_sample_rows
+
     queries = np.asarray(queries, dtype=np.float64)
     if query_ids is None:
         query_ids = np.arange(len(queries))
-    sample_rows = ds.limit(train_sample).take_all()
-    train = np.stack([r[vec_col] for r in sample_rows]).astype(np.float64)
+    # unbiased sampled training — see knn_ivf
+    train_tbl = hash_sample_rows(ds, train_sample, key_col, cols=[vec_col])
+    train = vecs_from_arrow(train_tbl[vec_col], np.float64)
     train = train / np.linalg.norm(train, axis=1, keepdims=True).clip(1e-12)
     dim = train.shape[1]
     if dim % m_sub:

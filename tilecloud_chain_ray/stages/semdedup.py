@@ -97,8 +97,12 @@ def semdedup_verdicts(
     """Per-row SemDeDup verdicts: ``(key, cluster, centroid_sim,
     keep)``.  Filter ``keep`` for the deduplicated corpus; the dropped
     rows are the semantic duplicates."""
-    sample_rows = ds.limit(train_sample).take_all()
-    train = np.stack([r[vec_col] for r in sample_rows]).astype(np.float64)
+    from tilecloud_chain_ray.stages.curation import hash_sample_rows
+
+    # layout-independent bottom-n-by-hash sample (not limit(): the
+    # first input files would train biased centroids on sorted corpora)
+    train_tbl = hash_sample_rows(ds, train_sample, key_col, cols=[vec_col])
+    train = vecs_from_arrow(train_tbl[vec_col], np.float64)
     cent = spherical_kmeans(train, n_lists=n_clusters, iters=iters, seed=seed)
     cent_ref = ray.put(cent)
 
