@@ -112,17 +112,60 @@ def pack_shards(
             "_bucket", pa.array(o // bucket_size, pa.int64())
         )
 
-    def apply_scan(group: pd.DataFrame) -> pd.DataFrame:
+    def apply_scan(batch: pa.Table) -> pa.Table:
+        """Multi-group kernel over one hash partition: one lexsort
+        serves every (group, bucket) co-located in the block (the
+        sort-groupby ran this once per group; see util.hash_group_blocks
+        for why the sort path also emitted zero-schema empty bundles)."""
         offs = ray.get(offsets_ref)
-        g = group.sort_values(order_col).reset_index(drop=True)
-        w = g[weight_col].to_numpy(dtype=np.int64)
-        excl = np.concatenate(([0], np.cumsum(w)[:-1])) + offs[
-            (g[group_col].iloc[0], int(g["_bucket"].iloc[0]))
-        ]
-        g[shard_col] = excl // budget
-        return g[[order_col, group_col, weight_col, shard_col]]
+        gcol = batch[group_col]
+        out_types = {
+            order_col: batch.schema.field(order_col).type,
+            group_col: batch.schema.field(group_col).type,
+            weight_col: batch.schema.field(weight_col).type,
+        }
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    order_col: pa.array([], out_types[order_col]),
+                    group_col: pa.array([], out_types[group_col]),
+                    weight_col: pa.array([], out_types[weight_col]),
+                    shard_col: pa.array([], pa.int64()),
+                }
+            )
+        g_vals = gcol.to_numpy(zero_copy_only=False)
+        codes, uniques = pd.factorize(g_vals)
+        o = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["_bucket"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, b, codes))
+        cs, bs, ws = codes[order], b[order], w[order]
+        n = len(order)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.concatenate((run_starts, [n])))
+        csum = np.cumsum(ws)
+        excl = csum - ws
+        excl = excl - np.repeat(excl[run_starts], run_lens)
+        base = np.fromiter(
+            (offs[(uniques[cs[i]], int(bs[i]))] for i in run_starts),
+            np.int64,
+            len(run_starts),
+        )
+        excl += np.repeat(base, run_lens)
+        idx = pa.array(order, pa.int64())
+        return pa.Table.from_pydict(
+            {
+                order_col: batch[order_col].take(idx),
+                group_col: gcol.take(idx),
+                weight_col: batch[weight_col].take(idx),
+                shard_col: pa.array(excl // budget, pa.int64()),
+            }
+        )
+
+    from tilecloud_chain_ray.util import hash_group_blocks
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
-    return bucketed.groupby([group_col, "_bucket"]).map_groups(
-        apply_scan, batch_format="pandas"
-    )
+    return hash_group_blocks(bucketed, [group_col, "_bucket"], apply_scan)

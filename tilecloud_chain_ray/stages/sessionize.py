@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from tilecloud_chain_ray.util import default_buckets, strip_meta
+from tilecloud_chain_ray.util import default_buckets, hash_group_blocks, strip_meta
 
 
 def _key_buckets(values: np.ndarray, n_buckets: int) -> np.ndarray:
@@ -55,18 +55,15 @@ def session_counts(
     if n_buckets is None:
         n_buckets = default_buckets()
 
-    def tag(batch: pa.Table) -> pa.Table:
-        batch = strip_meta(batch)  # pandas-built inputs carry unhashable metadata
-        vals = batch[key].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "__bucket", pa.array(_key_buckets(vals, n_buckets), pa.int64())
-        )
-
     sort_cols = [key, ts] + ([tie] if tie else [])
 
-    def bucket_sessions(group: pd.DataFrame) -> pd.DataFrame:
-        if group.empty:
-            return pd.DataFrame({key: [], "n_sessions": []})
+    def bucket_sessions(batch: pa.Table) -> pa.Table:
+        key_type = batch.schema.field(key).type
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {key: pa.array([], key_type), "n_sessions": pa.array([], pa.int64())}
+            )
+        group = batch.select(sort_cols).to_pandas()
         g = group.sort_values(sort_cols, kind="mergesort")
         k = g[key].to_numpy()
         t = g[ts].astype("int64").to_numpy()
@@ -78,13 +75,18 @@ def session_counts(
         new_sess[1:] |= (t[1:] - t[:-1]) > gap
         starts = np.flatnonzero(new_key)
         counts = np.add.reduceat(new_sess.astype(np.int64), starts)
-        return pd.DataFrame({key: k[starts], "n_sessions": counts})
+        return pa.Table.from_pydict(
+            {
+                key: pa.array(k[starts]).cast(key_type),
+                "n_sessions": pa.array(counts, pa.int64()),
+            }
+        )
 
-    return (
-        events.map_batches(tag, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(bucket_sessions, batch_format="pandas")
-    )
+    # hash-partition straight on the key (util.hash_group_blocks): the
+    # bounded-bucket co-location of the old salted sort-groupby, minus
+    # its zero-schema empty bundles and per-group UDF calls
+    cleaned = events.map_batches(strip_meta, batch_format="pyarrow")
+    return hash_group_blocks(cleaned, [key], bucket_sessions, num_partitions=n_buckets)
 
 
 def assign_sessions(
@@ -103,22 +105,19 @@ def assign_sessions(
     if n_buckets is None:
         n_buckets = default_buckets()
 
-    def tag(batch: pa.Table) -> pa.Table:
-        batch = strip_meta(batch)  # pandas-built inputs carry unhashable metadata
-        vals = batch[key].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "__bucket", pa.array(_key_buckets(vals, n_buckets), pa.int64())
-        )
-
     sort_cols = [key, ts] + ([tie] if tie else [])
 
-    def bucket_assign(group: pd.DataFrame) -> pd.DataFrame:
-        if group.empty:
-            return group.drop(columns=["__bucket"])
-        g = group.sort_values(sort_cols, kind="mergesort")
-        k = g[key].to_numpy()
-        t = g[ts].astype("int64").to_numpy()
-        n = len(g)
+    def bucket_assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(session_col, pa.array([], pa.int64()))
+        # sort the whole partition once; session math over column views
+        idx_df = batch.select(sort_cols).to_pandas()
+        order = np.asarray(
+            idx_df.sort_values(sort_cols, kind="mergesort").index, dtype=np.int64
+        )
+        k = idx_df[key].to_numpy()[order]
+        t = idx_df[ts].astype("int64").to_numpy()[order]
+        n = len(order)
         new_key = np.empty(n, dtype=bool)
         new_key[0] = True
         new_key[1:] = k[1:] != k[:-1]
@@ -126,13 +125,13 @@ def assign_sessions(
         new_sess[1:] |= (t[1:] - t[:-1]) > gap
         sess_idx = np.cumsum(new_sess) - 1  # global session ordinal
         base = sess_idx[new_key]  # first ordinal of each key
-        sess_of_key = sess_idx - np.repeat(base, np.diff(np.append(np.flatnonzero(new_key), n)))
-        out = g.drop(columns=["__bucket"]).copy()
-        out[session_col] = sess_of_key.astype(np.int64)
-        return out
+        sess_of_key = sess_idx - np.repeat(
+            base, np.diff(np.append(np.flatnonzero(new_key), n))
+        )
+        out = batch.take(pa.array(order, pa.int64()))
+        return out.append_column(
+            session_col, pa.array(sess_of_key.astype(np.int64), pa.int64())
+        )
 
-    return (
-        events.map_batches(tag, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(bucket_assign, batch_format="pandas")
-    )
+    cleaned = events.map_batches(strip_meta, batch_format="pyarrow")
+    return hash_group_blocks(cleaned, [key], bucket_assign, num_partitions=n_buckets)
