@@ -292,6 +292,58 @@ def test_skew_join_matches_plain_join():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_skew_join_auto_detection():
+    """skew_keys='auto' (Misra-Gries pre-pass) finds a planted 30%-hot
+    key by itself and produces exactly the plain bucketed join's rows;
+    a skew-free input must take the plain path untouched."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from tilecloud_chain_ray.stages.join import hash_join
+    from tilecloud_chain_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(6)
+    n = 30_000
+    keys = np.where(rng.random(n) < 0.3, 42, rng.integers(0, 3_000, n)).astype(
+        np.int64
+    )
+    left_tbl = pa.Table.from_pydict({"k": pa.array(keys), "lv": pa.array(np.arange(n))})
+    left = ray.data.from_arrow(left_tbl).repartition(8)
+    rkeys = np.arange(0, 3_000, dtype=np.int64)
+    right = ray.data.from_arrow(
+        pa.Table.from_pydict({"k": pa.array(rkeys), "rv": pa.array(rkeys * 10)})
+    )
+
+    # the detector itself surfaces the planted key (and only heavy ones)
+    hot = heavy_hitters(left.select_columns(["k"]), "k", capacity=64, min_share=0.05)
+    assert 42 in hot["key"].to_pylist()
+
+    def norm(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)[["k", "lv", "rv"]]
+        )
+
+    plain = norm(hash_join(left, right, on="k", how="inner"))
+    auto = norm(hash_join(left, right, on="k", how="inner", skew_keys="auto"))
+    pd.testing.assert_frame_equal(plain, auto, check_dtype=False)
+    assert (auto["k"] == 42).sum() > 8000
+
+    # skew-free input: detection returns nothing, plain path, dtypes kept
+    flat_keys = rng.integers(0, 3_000, n).astype(np.int64)
+    flat = ray.data.from_arrow(
+        pa.Table.from_pydict({"k": pa.array(flat_keys), "lv": pa.array(np.arange(n))})
+    ).repartition(8)
+    out = hash_join(flat, right, on="k", how="inner", skew_keys="auto")
+    got = norm(out)
+    want = norm(hash_join(flat, right, on="k", how="inner"))
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bloom_anti_join_exact_under_false_positives():
     """A deliberately tiny bitmap (high FP rate) must still give the
     exact anti-join thanks to the residue verification pass."""

@@ -78,7 +78,8 @@ def hash_join(
     how: str = "inner",
     n_buckets: int | None = None,
     suffixes: tuple[str, str] = ("_l", "_r"),
-    skew_keys: list[int] | None = None,
+    skew_keys: "list[int] | str | None" = None,
+    skew_min_share: float = 0.05,
 ) -> ray.data.Dataset:
     """Join two datasets on an int64 key column.
 
@@ -93,11 +94,32 @@ def hash_join(
     side per hot key — the usual many-left × few-right skew), joined
     against left batches with no shuffle, and unioned with the bucketed
     join of the remaining keys.
+
+    ``skew_keys="auto"`` detects the hot keys itself with one
+    Misra-Gries pass over the LEFT side's key column
+    (``stages/sketch.heavy_hitters`` — one sketch row per block, no
+    shuffle): every key whose upper count bound reaches
+    ``skew_min_share`` of the rows is broadcast.  The left side is
+    materialized first so the detection scan and the join both read it
+    from the object store instead of re-running the upstream pipeline.
     """
     if n_buckets is None:
         n_buckets = default_buckets()
     if how not in ("inner", "left"):
         raise ValueError(how)
+    if isinstance(skew_keys, str):
+        if skew_keys != "auto":
+            raise ValueError(skew_keys)
+        from tilecloud_chain_ray.stages.sketch import heavy_hitters
+
+        left = left.materialize()
+        hot = heavy_hitters(
+            left.select_columns([on]),
+            on,
+            capacity=max(64, int(2 / max(skew_min_share, 1e-6))),
+            min_share=skew_min_share,
+        )
+        skew_keys = hot["key"].to_pylist() or None
     if skew_keys:
         return _skew_join(left, right, on, how, n_buckets, suffixes, skew_keys)
 
