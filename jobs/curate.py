@@ -68,6 +68,10 @@ def main() -> None:
                     help="weight training shards by a learned-BPE token "
                          "count (N merges trained on a sample) instead of "
                          "whitespace tokens")
+    ap.add_argument("--bpe-distributed", action="store_true",
+                    help="train the BPE merge table on the EXACT corpus-wide "
+                         "word-frequency table (one bounded-key groupby per "
+                         "merge round) instead of a bounded sample")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None)
     args = ap.parse_args()
@@ -115,6 +119,7 @@ def main() -> None:
         substring_k=args.substring_k,
         substring_winnow=args.substring_winnow or None,
         bpe_merges=args.bpe_merges,
+        bpe_distributed=args.bpe_distributed,
     )
     n_out = result.survivors.count()
     n_shards = None

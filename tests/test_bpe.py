@@ -86,3 +86,36 @@ def test_encode_ids_concat_decodes():
     for d, t in enumerate(texts):
         assert "".join(inv[i] for i in rows[d]) == "".join(_PRETOK_RE.findall(t))
     assert rows[2] == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_training_equals_single_process():
+    """train_bpe_distributed (no sample cap, per-round bounded-key
+    groupby) learns EXACTLY the single-process Sennrich merges on the
+    toy corpus and on a randomized corpus, independent of layout."""
+    from tilecloud_chain_ray.stages.bpe import train_bpe_distributed
+
+    corpus = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    ref = train_bpe([" ".join(corpus)], num_merges=6)
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array([" ".join(corpus)], pa.string())})
+    )
+    got = train_bpe_distributed(ds, num_merges=6)
+    assert got.merges == ref.merges and got.vocab == ref.vocab
+
+    rng = np.random.default_rng(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsi"]
+    texts = [" ".join(rng.choice(vocab, 25)) for _ in range(160)] + ["", "   "]
+    ref2 = train_bpe(texts, num_merges=24)  # sample == whole corpus here
+    ds2 = ray.data.from_arrow(
+        pa.table({"text": pa.array(texts, pa.string())})
+    ).repartition(6)
+    got2 = train_bpe_distributed(ds2, num_merges=24)
+    assert got2.merges == ref2.merges and got2.vocab == ref2.vocab
+    # layout independence
+    perm = np.random.default_rng(1).permutation(len(texts))
+    ds3 = ray.data.from_arrow(
+        pa.table({"text": pa.array([texts[i] for i in perm], pa.string())})
+    ).repartition(3)
+    got3 = train_bpe_distributed(ds3, num_merges=24)
+    assert got3.merges == got2.merges

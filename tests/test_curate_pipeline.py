@@ -184,6 +184,33 @@ def test_curate_corpus_bpe_weighted_shards(tmp_path):
         assert (sub["shard"].to_numpy() == excl // 500).all()
 
 
+def test_curate_corpus_bpe_distributed_option(tmp_path):
+    """bpe_distributed=True weights the packing by the EXACT
+    corpus-trained merge table (train_bpe_distributed) — shard weights
+    recomputed with the same tokenizer match."""
+    from tilecloud_chain_ray.stages.bpe import bpe_encode_counts, train_bpe_distributed
+
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    kw = dict(quality_min=0.3, shard_budget=500, shard_bucket_size=64)
+    got = curate_corpus(docs, bpe_merges=24, bpe_distributed=True, **kw)
+    sh = got.shards.to_pandas().sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    surv = got.survivors.materialize()
+    tok = train_bpe_distributed(surv, num_merges=24)
+    w = (
+        bpe_encode_counts(surv, tok)
+        .to_pandas()[["doc_id", "lang", "n_bpe_learned"]]
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert sh["doc_id"].tolist() == w["doc_id"].tolist()
+    for lang, sub in sh.groupby("lang"):
+        weights = w.loc[w["lang"] == lang, "n_bpe_learned"].to_numpy(np.int64)
+        excl = np.concatenate(([0], np.cumsum(weights)[:-1]))
+        assert (sub["shard"].to_numpy() == excl // 500).all()
+
+
 def test_curate_corpus_semantic_dedup():
     """Opt-in SemDeDup: survivors whose embedding is a semantic
     duplicate (planted identical-up-to-noise vectors) drop via the

@@ -137,6 +137,7 @@ def curate_corpus(
     embedding_vec_col: str = "embedding",
     bpe_merges: int | None = None,
     bpe_sample_max_docs: int = 50_000,
+    bpe_distributed: bool = False,
 ) -> CurateResult:
     """Run the curation chain; see module docstring.
 
@@ -278,14 +279,26 @@ def curate_corpus(
             # (stages/bpe.py — sample-trained, broadcast, distributed
             # encode).  The count column feeds only the packer; the
             # written corpus schema stays identical with or without it.
-            from tilecloud_chain_ray.stages.bpe import bpe_encode_counts, train_bpe
-
-            tok = train_bpe(
-                survivors,
-                num_merges=bpe_merges,
-                text_col=text_col,
-                sample_max_docs=bpe_sample_max_docs,
+            from tilecloud_chain_ray.stages.bpe import (
+                bpe_encode_counts,
+                train_bpe,
+                train_bpe_distributed,
             )
+
+            if bpe_distributed:
+                # exact corpus-wide merge table (no sample cap): one
+                # word-frequency groupby + a bounded-key pair groupby
+                # per merge round — see stages/bpe.py + BASELINE.md
+                tok = train_bpe_distributed(
+                    survivors, num_merges=bpe_merges, text_col=text_col
+                )
+            else:
+                tok = train_bpe(
+                    survivors,
+                    num_merges=bpe_merges,
+                    text_col=text_col,
+                    sample_max_docs=bpe_sample_max_docs,
+                )
             pack_input = bpe_encode_counts(survivors, tok, text_col=text_col)
             weight_col = "n_bpe_learned"
         shards = pack_shards(

@@ -160,6 +160,184 @@ def train_bpe(
     return BPETokenizer(merges=tuple(merges), vocab=vocab)
 
 
+def word_freq_table(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Distributed word-frequency table ``(word, freq)`` — the input of
+    corpus-scale BPE training.  Per-batch combiner (unique words per
+    batch, Zipf makes this a small fraction of tokens) then one
+    vocab-bounded groupby."""
+    from ray.data.aggregate import Sum
+
+    from tilecloud_chain_ray.util import narrow_partials
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            if t:
+                words.update(_PRETOK_RE.findall(t))
+        return pa.Table.from_pydict(
+            {
+                "word": pa.array(list(words.keys()), pa.string()),
+                "freq": pa.array(list(words.values()), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return narrow_partials(partials).groupby("word").aggregate(
+        Sum("freq", alias_name="freq")
+    )
+
+
+def train_bpe_distributed(
+    ds: ray.data.Dataset,
+    num_merges: int = 256,
+    text_col: str = "text",
+) -> BPETokenizer:
+    """Corpus-scale BPE training: NO driver-side sample cap — the merge
+    table is learned from the exact word-frequency table of the whole
+    corpus (VERDICT r4 #3 / NOTES_r4 candidate #6).
+
+    Shape per Sennrich: training cost is VOCAB-sized, not corpus-sized,
+    once the word-frequency table exists, so the corpus-wide work is
+    one combiner + one word groupby (:func:`word_freq_table`).  Each
+    merge round then runs over the distributed word table:
+
+    1. pair partials — one combiner emits each block's (a, b, count)
+       sums (pair space is vocab-bounded);
+    2. a bounded-key ``groupby(["a","b"]).sum`` + per-block argmin →
+       the driver reduces ≤ blocks candidate rows to THE global best
+       pair (deterministic ties: max count, then lexicographically
+       smallest pair — byte-equal to ``_merge_word_freqs``);
+    3. apply — a ``map_batches`` pass rewrites only the rows whose
+       symbol sequence contains the pair; the table re-materializes so
+       round r+1 doesn't re-execute rounds 0..r.
+
+    Per-round cost is two passes over the WORD table (BASELINE.md
+    carries a 200k-doc ledger).  Prefer :func:`train_bpe` (bounded
+    hash sample) when sample convergence is acceptable; this is the
+    exact-path for vocabulary-sensitive runs.
+    """
+    from ray.data.aggregate import Sum
+
+    from tilecloud_chain_ray.util import narrow_partials, strip_meta
+
+    words = word_freq_table(ds, text_col=text_col).materialize()
+
+    # character vocabulary: per-block char-set union, driver merge
+    def char_partial(batch: pa.Table) -> pa.Table:
+        chars = sorted({c for w in batch["word"].to_pylist() for c in w})
+        return pa.Table.from_pydict({"c": pa.array(chars, pa.string())})
+
+    chars: set[str] = set()
+    for t in ray.get(
+        words.map_batches(char_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if "c" in t.schema.names:
+            chars.update(t["c"].to_pylist())
+
+    # working table: symbol sequences; single-symbol rows can never
+    # merge — drop them up front (chars already collected)
+    def init_syms(batch: pa.Table) -> pa.Table:
+        ws = batch["word"].to_pylist()
+        keep = [i for i, w in enumerate(ws) if len(w) >= 2]
+        return pa.Table.from_pydict(
+            {
+                "syms": pa.array([list(ws[i]) for i in keep], pa.list_(pa.string())),
+                "freq": batch["freq"].take(pa.array(keep, pa.int64())),
+            }
+        )
+
+    seqs = words.map_batches(
+        lambda b: init_syms(strip_meta(b)), batch_format="pyarrow"
+    ).materialize()
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        freqs = batch["freq"].to_numpy(zero_copy_only=False)
+        for s, f in zip(batch["syms"].to_pylist(), freqs):
+            f = int(f)
+            for p in zip(s, s[1:]):
+                c[p] += f
+        a = pa.array([p[0] for p in c], pa.string())
+        b = pa.array([p[1] for p in c], pa.string())
+        return pa.Table.from_pydict(
+            {"a": a, "b": b, "cnt": pa.array(list(c.values()), pa.int64())}
+        )
+
+    def block_best(batch: pa.Table) -> pa.Table:
+        batch = strip_meta(batch)
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        rows = batch.to_pylist()
+        best = min(rows, key=lambda r: (-r["cnt"], r["a"], r["b"]))
+        return pa.Table.from_pydict(
+            {
+                "a": pa.array([best["a"]], pa.string()),
+                "b": pa.array([best["b"]], pa.string()),
+                "cnt": pa.array([best["cnt"]], pa.int64()),
+            }
+        )
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        partials = seqs.map_batches(pair_partials, batch_format="pyarrow")
+        summed = (
+            narrow_partials(partials)
+            .groupby(["a", "b"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        )
+        cands = summed.map_batches(block_best, batch_format="pyarrow").take_all()
+        cands = [r for r in cands if r.get("cnt") is not None]
+        if not cands:
+            break
+        best = min(cands, key=lambda r: (-r["cnt"], r["a"], r["b"]))
+        if best["cnt"] <= 0:
+            break
+        pair = (best["a"], best["b"])
+        merges.append(pair)
+        merged_sym = pair[0] + pair[1]
+
+        def apply_merge(batch: pa.Table, _pair=pair, _m=merged_sym) -> pa.Table:
+            seqs_py = batch["syms"].to_pylist()
+            out = []
+            for s in seqs_py:
+                if _pair[0] in s:
+                    new, i = [], 0
+                    while i < len(s):
+                        if (
+                            i < len(s) - 1
+                            and s[i] == _pair[0]
+                            and s[i + 1] == _pair[1]
+                        ):
+                            new.append(_m)
+                            i += 2
+                        else:
+                            new.append(s[i])
+                            i += 1
+                    s = new
+                out.append(s)
+            return pa.Table.from_pydict(
+                {
+                    "syms": pa.array(out, pa.list_(pa.string())),
+                    "freq": batch["freq"],
+                }
+            )
+
+        seqs = seqs.map_batches(apply_merge, batch_format="pyarrow").materialize()
+
+    vocab = {c: i for i, c in enumerate(sorted(chars))}
+    for a, b in merges:
+        vocab[a + b] = len(vocab)
+    return BPETokenizer(merges=tuple(merges), vocab=vocab)
+
+
 def _encode_unique(
     uniq: np.ndarray, tok: BPETokenizer, cache: dict[str, list[str]]
 ) -> list[list[str]]:
