@@ -1001,7 +1001,11 @@ def embedding_near_dup(
             {
                 "key": batch[key_col],
                 "bucket": pa.array(code.astype(np.int64), pa.int64()),
-                "vec": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+                # zero-copy emission (one buffer + width), not per-row lists
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.ascontiguousarray(vecs).ravel(), pa.float64()),
+                    vecs.shape[1],
+                ),
             }
         )
 

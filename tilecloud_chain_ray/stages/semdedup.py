@@ -118,7 +118,11 @@ def semdedup_verdicts(
                 key_col: batch[key_col],
                 "cluster": pa.array(cl.astype(np.int64), pa.int64()),
                 "centroid_sim": pa.array(scores[np.arange(len(cl)), cl], pa.float64()),
-                "vec": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+                # zero-copy emission (one buffer + width), not per-row lists
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.ascontiguousarray(vecs).ravel(), pa.float64()),
+                    vecs.shape[1],
+                ),
             }
         )
 
