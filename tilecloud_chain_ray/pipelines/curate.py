@@ -49,7 +49,7 @@ from tilecloud_chain_ray.stages.curation import (
     repetition_fraction_batch,
 )
 from tilecloud_chain_ray.stages.text import quality_score_batch, token_count_batch
-from tilecloud_chain_ray.util import read_parquet_clean
+from tilecloud_chain_ray.util import hash_group_blocks, read_parquet_clean, strip_meta
 
 
 @dataclasses.dataclass
@@ -223,11 +223,28 @@ def curate_corpus(
 
     # exact content dedup: one salted-bucket shuffle of the surviving
     # rows; survivor per md5 = min key (deterministic, layout-free)
-    survivors = (
-        filtered.map_batches(make_md5_bucket(text_col, n_buckets), batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(make_dedup_bucket(key_col), batch_format="pandas")
+    def dedup_partition(batch: pa.Table) -> pa.Table:
+        """Min-key survivor per content md5 over one hash partition —
+        md5 groups never straddle partitions (the partition key IS the
+        md5-derived bucket), so drop_duplicates is exact regardless of
+        how many buckets co-locate."""
+        if batch.num_rows == 0:
+            return batch.drop_columns(["content_md5", "_bucket"])
+        g = (
+            batch.to_pandas()
+            .sort_values(["content_md5", key_col])
+            .drop_duplicates("content_md5", keep="first")
+            .drop(columns=["content_md5", "_bucket"])
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+
+    tagged = filtered.map_batches(
+        make_md5_bucket(text_col, n_buckets), batch_format="pyarrow"
     )
+    # round 5: task-exchange instead of sort-groupby (no zero-schema
+    # empty bundles at scale, no per-group UDF calls; the COMMITTED
+    # _bucket tag is unchanged — only the exchange mechanics moved)
+    survivors = hash_group_blocks(tagged, ["_bucket"], dedup_partition)
 
     if embeddings is not None:
         from tilecloud_chain_ray.stages.bloom import bloom_anti_join

@@ -26,6 +26,10 @@ PAGES_SCHEMA = pa.schema(
     ]
 )
 
+# warc_ts of row i is PAGES_BASE_TS_US + i * 1_000_000 — consumers can
+# recover the row index (a stable doc id) from the timestamp alone.
+PAGES_BASE_TS_US = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
+
 _LANGS = ("en", "de", "fr", "it")
 _VOCAB = (
     "the quick brown fox jumps over lazy dog alpine valley tile map cloud "
@@ -44,9 +48,8 @@ def _row_text(rng: np.random.Generator, n_words: int) -> str:
 def pages_chunk(start: int, count: int, seed: int = 42, avg_html: int = 2048) -> pa.Table:
     """Rows [start, start+count) of the deterministic pages table."""
     urls = [f"https://site{i % 997}.example/p/{i}" for i in range(start, start + count)]
-    base = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
     ts = pa.array(
-        np.arange(start, start + count, dtype=np.int64) * 1_000_000 + base,
+        np.arange(start, start + count, dtype=np.int64) * 1_000_000 + PAGES_BASE_TS_US,
         pa.timestamp("us"),
     )
     htmls = []

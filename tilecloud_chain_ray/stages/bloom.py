@@ -90,15 +90,23 @@ def build_bloom(
     partials = keys_ds.map_batches(block_bitmap, batch_format="pyarrow")
     if bm_bytes >= tree_reduce_min_bytes:
         def or_group(g: pa.Table) -> pa.Table:
+            # OR is commutative/associative, so one row per hash
+            # partition is as good as one per slot
             acc = np.zeros(bm_bytes, dtype=np.uint8)
             for buf in g["bm"].to_pylist():
                 acc |= np.frombuffer(buf, dtype=np.uint8)
+            slot = g["slot"][0].as_py() if g.num_rows else 0
             return pa.Table.from_pydict(
-                {"slot": pa.array([g["slot"][0].as_py()], pa.int64()),
+                {"slot": pa.array([slot], pa.int64()),
                  "bm": pa.array([acc.tobytes()], pa.binary())}
             )
 
-        partials = partials.groupby("slot").map_groups(or_group, batch_format="pyarrow")
+        from tilecloud_chain_ray.util import hash_group_blocks
+
+        # task exchange, not sort-groupby (zero-schema empty bundles)
+        partials = hash_group_blocks(
+            partials, ["slot"], or_group, num_partitions=reduce_fanout
+        )
 
     merged = np.zeros(bm_bytes, dtype=np.uint8)
     for row in partials.iter_rows():
@@ -155,7 +163,11 @@ def _anti_join_bucketed(
         keep = pc.invert(pc.is_in(lf[on], value_set=rk))
         return lf.filter(keep).select(cols)
 
-    return both.groupby("__bucket").map_groups(anti, batch_format="pyarrow")
+    from tilecloud_chain_ray.util import hash_group_blocks
+
+    # is_in is membership on the co-located key set, so merging several
+    # __bucket groups into one hash partition changes nothing
+    return hash_group_blocks(both, ["__bucket"], anti, num_partitions=n_buckets)
 
 
 def bloom_anti_join(

@@ -98,7 +98,9 @@ def connected_components(
         )
 
     if not force_distributed and n_pairs * 16 <= small_table_max_bytes:
-        tbl = pa.concat_tables(ray.get(pairs.to_arrow_refs()))
+        # drop (0 rows, 0 cols) blocks (empty sort ranges upstream) —
+        # concat_tables rejects the zero-column schema otherwise
+        tbl = pa.concat_tables([t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows])
         a = tbl[key_a].to_numpy(zero_copy_only=False).astype(np.int64)
         b = tbl[key_b].to_numpy(zero_copy_only=False).astype(np.int64)
         nodes, comp = _union_find_driver(a, b)

@@ -182,7 +182,10 @@ def hash_join(
     lcols_out = [lmap[c] for c in left_cols]
     rcols_out = [rmap[c] for c in right_cols]
 
-    def join_bucket(group: pd.DataFrame) -> pa.Table:
+    def join_bucket(batch: pa.Table) -> pa.Table:
+        # pandas merge joins on key equality, so several __bucket
+        # groups co-located in one hash partition merge identically
+        group = batch.to_pandas()
         lhs = group[group["__side"] == 0][[on, *lcols_out]]
         rhs = group[group["__side"] == 1][[on, *rcols_out]]
         merged = lhs.merge(rhs, on=on, how=how)
@@ -191,7 +194,10 @@ def hash_join(
         # gives all-null columns their real type (not arrow null type)
         return _frame_to_schema(merged, out_schema)
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    from tilecloud_chain_ray.util import hash_group_blocks
+
+    # task exchange, not sort-groupby (zero-schema empty bundles)
+    return hash_group_blocks(both, ["__bucket"], join_bucket, num_partitions=n_buckets)
 
 
 def _skew_join(
@@ -397,8 +403,10 @@ def asof_join(
     both = lt.union(rt)
     rcols = ["r_" + c for c in right_cols]
 
-    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        # merge_asof(by=) wants both frames globally sorted by ts only
+    def merge_bucket(batch: pa.Table) -> pd.DataFrame:
+        # merge_asof(by=) wants both frames globally sorted by ts only;
+        # by=key keeps co-located __bucket groups independent
+        group = batch.to_pandas()
         lhs = group[group["__side"] == 0].sort_values(ts, kind="mergesort")
         rhs = group[group["__side"] == 1].sort_values(ts, kind="mergesort")
         if lhs.empty:
@@ -416,4 +424,6 @@ def asof_join(
                 merged[c] = merged[c].astype(dtype)
         return merged
 
-    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    from tilecloud_chain_ray.util import hash_group_blocks
+
+    return hash_group_blocks(both, ["__bucket"], merge_bucket, num_partitions=n_buckets)

@@ -112,7 +112,14 @@ def train_char_lm(
         .aggregate(Sum("n", alias_name="n"))
         .materialize()
     )
-    tbl = pa.concat_tables(ray.get(agg.to_arrow_refs()))
+    # the sort-groupby can emit (0 rows, 0 cols) blocks for empty sort
+    # ranges — drop them or concat_tables rejects the schema mismatch
+    parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    tbl = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table({"tri": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+    )
     tri_keys = tbl["tri"].to_numpy(zero_copy_only=False).astype(np.uint32)
     tri_counts = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(tri_keys)

@@ -37,9 +37,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Sum
-
-
 def bucket_partials(
     ds: ray.data.Dataset,
     group_col: str,
@@ -61,11 +58,16 @@ def bucket_partials(
         out = df.groupby(["g", "bucket"], sort=False)["w"].sum().reset_index()
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["g", "bucket"])
-        .aggregate(Sum("w", alias_name="w"))
-    )
+    def sum_partition(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["g", "bucket"]).aggregate([("w", "sum")])
+        return t.rename_columns(["g", "bucket", "w"])
+
+    # task exchange, not sort-groupby: the sort path emits zero-schema
+    # bundles for empty sort ranges (see util.hash_group_blocks)
+    from tilecloud_chain_ray.util import hash_group_blocks
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_group_blocks(partials, ["g", "bucket"], sum_partition)
 
 
 def pack_shards(

@@ -126,34 +126,43 @@ def semdedup_verdicts(
             }
         )
 
-    def dedup_cluster(group: pd.DataFrame) -> pd.DataFrame:
-        if group.empty:
-            return pd.DataFrame(
+    def dedup_partition(batch: pa.Table) -> pa.Table:
+        """Verdicts for every cluster co-located in one hash partition
+        (util.hash_group_blocks): the O(c^2) work runs per cluster run
+        after one sort — clusters never straddle partitions."""
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
                 {
-                    key_col: pd.Series([], dtype="int64"),
-                    "cluster": pd.Series([], dtype="int64"),
-                    "centroid_sim": pd.Series([], dtype="float64"),
-                    "keep": pd.Series([], dtype="bool"),
+                    key_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "centroid_sim": pa.array([], pa.float64()),
+                    "keep": pa.array([], pa.bool_()),
                 }
             )
-        keys = group[key_col].to_numpy()
-        cs = group["centroid_sim"].to_numpy()
-        vecs = np.stack(group["vec"].to_numpy())
-        keep = _cluster_verdicts(keys, vecs, cs, threshold)
-        return pd.DataFrame(
+        cl = batch["cluster"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cl, kind="stable")
+        cl = cl[order]
+        keys = batch[key_col].to_numpy(zero_copy_only=False)[order]
+        cs = batch["centroid_sim"].to_numpy(zero_copy_only=False)[order]
+        vecs = vecs_from_arrow(batch["vec"].take(pa.array(order, pa.int64())))
+        keep = np.empty(len(keys), dtype=bool)
+        starts = np.flatnonzero(np.concatenate(([True], cl[1:] != cl[:-1])))
+        ends = np.concatenate((starts[1:], [len(cl)]))
+        for s, e in zip(starts, ends):
+            keep[s:e] = _cluster_verdicts(keys[s:e], vecs[s:e], cs[s:e], threshold)
+        return pa.Table.from_pydict(
             {
-                key_col: keys,
-                "cluster": group["cluster"].to_numpy(),
-                "centroid_sim": cs,
-                "keep": keep,
+                key_col: pa.array(keys, pa.int64()),
+                "cluster": pa.array(cl, pa.int64()),
+                "centroid_sim": pa.array(cs, pa.float64()),
+                "keep": pa.array(keep, pa.bool_()),
             }
         )
 
-    return (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .groupby("cluster")
-        .map_groups(dedup_cluster, batch_format="pandas")
-    )
+    from tilecloud_chain_ray.util import hash_group_blocks
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return hash_group_blocks(assigned, ["cluster"], dedup_partition)
 
 
 def semdedup(

@@ -52,8 +52,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from tilecloud_chain_ray.stages.sessionize import _key_buckets
-from tilecloud_chain_ray.util import default_buckets, strip_meta
+from tilecloud_chain_ray.util import default_buckets
 
 # Horner base for the rolling window hash (FNV-1a's 64-bit prime);
 # uint64 arithmetic wraps mod 2^64.
@@ -177,22 +176,19 @@ def duplicated_window_positions(
     extra shuffle."""
     if n_buckets is None:
         n_buckets = default_buckets()
-    nb = np.uint64(n_buckets)
 
-    def tag(batch: pa.Table) -> pa.Table:
-        fp = batch["fp"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "__bucket", pa.array((fp % nb).astype(np.int64), pa.int64())
-        )
-
-    def bucket_dups(group: pd.DataFrame) -> pd.DataFrame:
-        if group.empty:
-            return pd.DataFrame(
-                {key_col: pd.Series([], dtype="int64"), "pos": pd.Series([], dtype="int64")}
+    def bucket_dups(batch: pa.Table) -> pa.Table:
+        """All fingerprint groups co-located in one hash partition
+        (util.hash_group_blocks partitions on ``fp`` directly — the
+        same co-location the old salt tag bought, minus the tag column
+        and the sort path's zero-schema empty bundles)."""
+        if batch.num_rows == 0:
+            return pa.table(
+                {key_col: pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
             )
-        fp = group["fp"].to_numpy()
-        keys = group[key_col].to_numpy()
-        pos = group["pos"].to_numpy()
+        fp = batch["fp"].to_numpy(zero_copy_only=False)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        pos = batch["pos"].to_numpy(zero_copy_only=False)
         order = np.lexsort((pos, keys, fp))
         fp, keys, pos = fp[order], keys[order], pos[order]
         n = len(fp)
@@ -211,13 +207,16 @@ def duplicated_window_positions(
             # sorted by (fp, key, pos): the run's first row IS the
             # min-(key, pos) occurrence — unflag it
             keep &= ~new_run
-        return pd.DataFrame({key_col: keys[keep], "pos": pos[keep]})
+        return pa.table(
+            {
+                key_col: pa.array(keys[keep].astype(np.int64), pa.int64()),
+                "pos": pa.array(pos[keep].astype(np.int64), pa.int64()),
+            }
+        )
 
-    return (
-        fps.map_batches(tag, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(bucket_dups, batch_format="pandas")
-    )
+    from tilecloud_chain_ray.util import hash_group_blocks
+
+    return hash_group_blocks(fps, ["fp"], bucket_dups, num_partitions=n_buckets)
 
 
 
@@ -234,25 +233,20 @@ def merge_duplicate_spans(
     if n_buckets is None:
         n_buckets = default_buckets()
 
-    def tag(batch: pa.Table) -> pa.Table:
-        batch = strip_meta(batch)  # upstream blocks may be pandas-converted
-        vals = batch[key_col].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "__bucket", pa.array(_key_buckets(vals, n_buckets), pa.int64())
-        )
-
-    def bucket_spans(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                key_col: pd.Series([], dtype="int64"),
-                "span_start": pd.Series([], dtype="int64"),
-                "span_end": pd.Series([], dtype="int64"),
-            }
-        )
-        if group.empty:
-            return empty
-        keys = group[key_col].to_numpy()
-        pos = group["pos"].to_numpy().astype(np.int64)
+    def bucket_spans(batch: pa.Table) -> pa.Table:
+        """Every doc co-located in one hash partition on ``key_col``
+        (util.hash_group_blocks); the offset trick below already made
+        the kernel multi-doc, so merging partitions costs nothing."""
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "span_start": pa.array([], pa.int64()),
+                    "span_end": pa.array([], pa.int64()),
+                }
+            )
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        pos = batch["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((pos, keys))
         keys, pos = keys[order], pos[order]
         n = len(keys)
@@ -274,19 +268,19 @@ def merge_duplicate_spans(
         new_island[1:] = p_off[1:] > run_max[:-1]
         isl_starts = np.flatnonzero(new_island)
         isl_last = np.concatenate((isl_starts[1:], [n])) - 1
-        return pd.DataFrame(
+        return pa.table(
             {
-                key_col: keys[isl_starts],
-                "span_start": pos[isl_starts],
-                "span_end": run_max[isl_last] - rank[isl_starts] * off,
+                key_col: pa.array(keys[isl_starts].astype(np.int64), pa.int64()),
+                "span_start": pa.array(pos[isl_starts], pa.int64()),
+                "span_end": pa.array(
+                    run_max[isl_last] - rank[isl_starts] * off, pa.int64()
+                ),
             }
         )
 
-    return (
-        dups.map_batches(tag, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(bucket_spans, batch_format="pandas")
-    )
+    from tilecloud_chain_ray.util import hash_group_blocks
+
+    return hash_group_blocks(dups, [key_col], bucket_spans, num_partitions=n_buckets)
 
 
 def dedup_substring_spans(
@@ -336,21 +330,14 @@ def cut_duplicate_spans(
     if n_buckets is None:
         n_buckets = default_buckets()
 
-    def tag(batch: pa.Table) -> pa.Table:
-        batch = strip_meta(batch)  # upstream blocks may be pandas-converted
-        vals = batch[key_col].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "__bucket", pa.array(_key_buckets(vals, n_buckets), pa.int64())
-        )
-
-    def pack(group: pd.DataFrame) -> pa.Table:
+    def pack(batch: pa.Table) -> pa.Table:
         # explicit Arrow types: an empty pandas object column would
         # leave an un-unifiable `object` schema in the block stream
-        if group.empty:
+        if batch.num_rows == 0:
             return pa.Table.from_pydict(
                 {key_col: pa.array([], pa.int64()), "__spans": pa.array([], pa.string())}
             )
-        g = group.sort_values([key_col, "span_start"], kind="mergesort")
+        g = batch.to_pandas().sort_values([key_col, "span_start"], kind="mergesort")
         packed = (
             g.assign(__s=g["span_start"].astype(str) + ":" + g["span_end"].astype(str))
             .groupby(key_col, sort=False)["__s"]
@@ -363,18 +350,14 @@ def cut_duplicate_spans(
             }
         )
 
-    packed = (
-        spans.map_batches(tag, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(pack, batch_format="pandas")
-    )
-    # a typed empty seed keeps the join's right-side schema defined
-    # even when the corpus has zero duplicated spans (a fully-empty
-    # groupby output has no schema at all), without materializing
-    seed = ray.data.from_arrow(
-        pa.table({key_col: pa.array([], pa.int64()), "__spans": pa.array([], pa.string())})
-    )
-    joined = hash_join(docs, seed.union(packed), on=key_col, how="left", n_buckets=n_buckets)
+    from tilecloud_chain_ray.util import hash_group_blocks
+
+    # hash_group_blocks returns a TYPED empty dataset when the corpus
+    # has zero duplicated spans (kernel runs once on a typed empty), so
+    # the old empty-seed union — whose 0-row block turned into a
+    # schema-less RefBundle inside the join's map stages — is gone
+    packed = hash_group_blocks(spans, [key_col], pack, num_partitions=n_buckets)
+    joined = hash_join(docs, packed, on=key_col, how="left", n_buckets=n_buckets)
     return joined.map_batches(
         lambda b: splice_packed_spans(b, text_col), batch_format="pyarrow"
     )
