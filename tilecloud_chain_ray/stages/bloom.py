@@ -91,13 +91,18 @@ def build_bloom(
     if bm_bytes >= tree_reduce_min_bytes:
         def or_group(g: pa.Table) -> pa.Table:
             # OR is commutative/associative, so one row per hash
-            # partition is as good as one per slot
+            # partition is as good as one per slot.  num_rows guard
+            # FIRST: an empty probe input may carry zero columns
             acc = np.zeros(bm_bytes, dtype=np.uint8)
+            if g.num_rows == 0:
+                return pa.Table.from_pydict(
+                    {"slot": pa.array([0], pa.int64()),
+                     "bm": pa.array([acc.tobytes()], pa.binary())}
+                )
             for buf in g["bm"].to_pylist():
                 acc |= np.frombuffer(buf, dtype=np.uint8)
-            slot = g["slot"][0].as_py() if g.num_rows else 0
             return pa.Table.from_pydict(
-                {"slot": pa.array([slot], pa.int64()),
+                {"slot": pa.array([g["slot"][0].as_py()], pa.int64()),
                  "bm": pa.array([acc.tobytes()], pa.binary())}
             )
 

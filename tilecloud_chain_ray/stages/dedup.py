@@ -229,18 +229,19 @@ def _expand_hot_bucket_pairs(
             "bucket", pa.array(bucket.astype(np.int64), pa.int64())
         )
 
-    def pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def pairs_bucket(batch: pa.Table) -> pa.Table:
         """All (key_a < key_b) pairs of every (band, band_hash) run in
-        this bucket — one fully vectorized pass (a Python loop over the
-        ~10k runs per bucket was the wall-time hot spot: millions of
-        tiny np.unique calls across buckets)."""
-        empty = pd.DataFrame(
-            {"key_a": pd.Series([], dtype=np.int64),
-             "key_b": pd.Series([], dtype=np.int64)}
+        this partition — one fully vectorized pass (a Python loop over
+        the ~10k runs per bucket was the wall-time hot spot: millions
+        of tiny np.unique calls across buckets).  Runs are keyed on
+        (band, band_hash), so several ``bucket`` groups co-located in
+        one hash partition (util.hash_group_blocks) expand identically."""
+        empty = pa.table(
+            {"key_a": pa.array([], pa.int64()), "key_b": pa.array([], pa.int64())}
         )
-        band = group["band"].to_numpy().astype(np.int64)
-        bhash = group["band_hash"].to_numpy().astype(np.int64)
-        key = group["key"].to_numpy().astype(np.int64)
+        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bhash = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(band)
         if n < 2:
             return empty
@@ -280,12 +281,19 @@ def _expand_hot_bucket_pairs(
         real = ka != kb
         if not real.all():
             ka, kb = ka[real], kb[real]
-        return pd.DataFrame({"key_a": ka, "key_b": kb})
+        return pa.table(
+            {"key_a": pa.array(ka, pa.int64()), "key_b": pa.array(kb, pa.int64())}
+        )
 
-    cand = (
-        banded.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs_bucket, batch_format="pandas")
+    from tilecloud_chain_ray.util import hash_group_blocks
+
+    # task exchange, not sort-groupby: no zero-schema empty bundles
+    # from pair-free buckets (see util.hash_group_blocks)
+    cand = hash_group_blocks(
+        banded.map_batches(add_bucket, batch_format="pyarrow"),
+        ["bucket"],
+        pairs_bucket,
+        num_partitions=n_buckets,
     )
 
     # global pair dedup, bucketed: a direct two-column groupby-aggregate
@@ -301,13 +309,15 @@ def _expand_hot_bucket_pairs(
         )
         return batch.append_column("pbucket", pa.array(bucket, pa.int64()))
 
-    def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        return group[["key_a", "key_b"]].drop_duplicates()
+    def dedup_bucket(batch: pa.Table) -> pa.Table:
+        # distinct via an empty-aggregate group_by: one Acero C pass
+        return batch.select(["key_a", "key_b"]).group_by(["key_a", "key_b"]).aggregate([])
 
-    return (
-        cand.map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("pbucket")
-        .map_groups(dedup_bucket, batch_format="pandas")
+    return hash_group_blocks(
+        cand.map_batches(add_pair_bucket, batch_format="pyarrow"),
+        ["pbucket"],
+        dedup_bucket,
+        num_partitions=n_buckets,
     )
 
 
@@ -544,16 +554,22 @@ def _verify_pairs_distributed(
         sigs.map_batches(sig_rows, batch_format="pyarrow")
     )
 
-    def attach_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def attach_bucket(batch: pa.Table) -> pd.DataFrame:
+        # sig_map lookups are by jkey, and every row with one jkey
+        # shares a bucket — a merged multi-bucket partition just builds
+        # a bigger map
+        group = batch.to_pandas()
         is_sig = group["side"] == 2
         pair_halves = group[~is_sig]
         if pair_halves.empty:
-            return pd.DataFrame(
-                {"pkey": pd.Series([], dtype=np.int64),
-                 "key_a": pd.Series([], dtype=np.int64),
-                 "key_b": pd.Series([], dtype=np.int64),
-                 "side": pd.Series([], dtype=np.int8),
-                 "sig": pd.Series([], dtype=object)}
+            # typed arrow empty: a pandas object column would land as
+            # arrow null type and break schema unification downstream
+            return pa.table(
+                {"pkey": pa.array([], pa.int64()),
+                 "key_a": pa.array([], pa.int64()),
+                 "key_b": pa.array([], pa.int64()),
+                 "side": pa.array([], pa.int8()),
+                 "sig": pa.array([], pa.list_(pa.uint64()))}
             )
         sig_map = dict(zip(group.loc[is_sig, "jkey"], group.loc[is_sig, "sig"]))
         empty = np.array([], dtype=np.uint64)
@@ -572,9 +588,12 @@ def _verify_pairs_distributed(
             }
         )
 
-    attached = tagged.groupby("bucket").map_groups(attach_bucket, batch_format="pandas")
+    from tilecloud_chain_ray.util import hash_group_blocks
 
-    def combine_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    attached = hash_group_blocks(tagged, ["bucket"], attach_bucket)
+
+    def combine_bucket(batch: pa.Table) -> pd.DataFrame:
+        group = batch.to_pandas()
         # One vectorized pass over ALL pairs in the bucket: the sigs of
         # every half concatenate into one flat uint64 buffer tagged with
         # a pair ordinal, and one lexsort finds cross-side duplicates —
@@ -636,7 +655,7 @@ def _verify_pairs_distributed(
             }
         )
 
-    return attached.groupby("pkey").map_groups(combine_bucket, batch_format="pandas")
+    return hash_group_blocks(attached, ["pkey"], combine_bucket)
 
 
 def verify_jaccard(
@@ -924,19 +943,30 @@ def hamming_blocked_pairs(
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        # runs are keyed on bv (same bv -> same bucket), so merged
+        # multi-bucket partitions pair identically
         a, b, h = _block_run_pairs(
-            group["bv"].to_numpy(),
-            group["k"].to_numpy(),
-            group["h"].to_numpy().astype(np.uint64),
+            batch["bv"].to_numpy(zero_copy_only=False),
+            batch["k"].to_numpy(zero_copy_only=False),
+            batch["h"].to_numpy(zero_copy_only=False).astype(np.uint64),
             max_hamming,
         )
-        return pd.DataFrame({"key_a": a, "key_b": b, "hamming": h})
+        return pa.table(
+            {
+                "key_a": pa.array(a, pa.int64()),
+                "key_b": pa.array(b, pa.int64()),
+                "hamming": pa.array(h.astype(np.int64), pa.int64()),
+            }
+        )
 
-    allp = (
-        hashed.map_batches(fan, batch_format="pyarrow")
-        .groupby("bbucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+    from tilecloud_chain_ray.util import hash_group_blocks
+
+    allp = hash_group_blocks(
+        hashed.map_batches(fan, batch_format="pyarrow"),
+        ["bbucket"],
+        bucket_pairs,
+        num_partitions=n_buckets,
     )
 
     # bucketed pair dedup (min hamming per pair): Ray's two-column
@@ -951,16 +981,19 @@ def hamming_blocked_pairs(
         )
         return batch.append_column("pbucket", pa.array(bucket, pa.int64()))
 
-    def min_ham_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        return (
-            group.groupby(["key_a", "key_b"], sort=False, as_index=False)["hamming"]
-            .min()
+    def min_ham_bucket(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select(["key_a", "key_b", "hamming"])
+            .group_by(["key_a", "key_b"])
+            .aggregate([("hamming", "min")])
         )
+        return t.rename_columns(["key_a", "key_b", "hamming"])
 
-    return (
-        allp.map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("pbucket")
-        .map_groups(min_ham_bucket, batch_format="pandas")
+    return hash_group_blocks(
+        allp.map_batches(add_pair_bucket, batch_format="pyarrow"),
+        ["pbucket"],
+        min_ham_bucket,
+        num_partitions=256,
     )
 
 
@@ -1011,33 +1044,57 @@ def embedding_near_dup(
 
     bucketed = ds.map_batches(bucket, batch_format="pyarrow")
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ks = group["key"].to_numpy()
-        order = np.argsort(ks)
-        ks = ks[order]
-        vecs = np.stack(group["vec"].to_numpy()[order])
-        n = len(ks)
-        if n < 2:
-            return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
+    def pairs(batch: pa.Table) -> pa.Table:
+        """Exact cosine pairs per LSH code, over every code co-located
+        in one hash partition (util.hash_group_blocks).  Unlike the
+        runs-keyed kernels, pairing here is *within a bucket by
+        definition*, so the kernel sorts by (bucket, key) and pairs
+        each bucket run separately — merging partitions must not
+        invent cross-bucket candidates."""
+        empty = pa.table(
+            {
+                "key_a": pa.array([], pa.int64()),
+                "key_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows < 2:
+            return empty
+        bk = batch["bucket"].to_numpy(zero_copy_only=False)
+        ks = batch["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ks, bk))
+        bk, ks = bk[order], ks[order]
+        vecs = vecs_from_arrow(batch["vec"].take(pa.array(order, pa.int64())))
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        ka, kb, cs = [], [], []
         # blocked extraction (cf. stages/semdedup._cluster_verdicts):
         # memory O(block x n) instead of an n x n sims + two O(n^2)
         # triu index arrays, so a hot LSH bucket costs CPU, not an OOM
         block = 2048
-        ka, kb, cs = [], [], []
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            sims = vecs[s:e] @ vecs.T
-            bi, bj = np.nonzero(sims >= threshold)
-            up = s + bi < bj
-            ka.append(ks[(s + bi)[up]])
-            kb.append(ks[bj[up]])
-            cs.append(sims[bi[up], bj[up]])
-        return pd.DataFrame(
+        for rs, re in zip(starts, ends):
+            n = re - rs
+            if n < 2:
+                continue
+            kk, vv = ks[rs:re], vecs[rs:re]
+            for s in range(0, n, block):
+                e = min(s + block, n)
+                sims = vv[s:e] @ vv.T
+                bi, bj = np.nonzero(sims >= threshold)
+                up = s + bi < bj
+                ka.append(kk[(s + bi)[up]])
+                kb.append(kk[bj[up]])
+                cs.append(sims[bi[up], bj[up]])
+        if not ka:
+            return empty
+        return pa.table(
             {
-                "key_a": np.concatenate(ka) if ka else [],
-                "key_b": np.concatenate(kb) if kb else [],
-                "cosine": np.concatenate(cs) if cs else [],
+                "key_a": pa.array(np.concatenate(ka).astype(np.int64), pa.int64()),
+                "key_b": pa.array(np.concatenate(kb).astype(np.int64), pa.int64()),
+                "cosine": pa.array(np.concatenate(cs), pa.float64()),
             }
         )
 
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    from tilecloud_chain_ray.util import hash_group_blocks
+
+    return hash_group_blocks(bucketed, ["bucket"], pairs)

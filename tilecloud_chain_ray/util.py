@@ -329,8 +329,14 @@ def hash_group_blocks(ds, keys, kernel, num_partitions=None):
     except Exception:  # metadata API drift: take every block
         block_refs = list(mat.to_arrow_refs())
     if not block_refs:
-        # typed empty result: run the kernel locally on an empty input
-        empty = pa.Table.from_pylist([], schema=mat.schema().base_schema)
+        # typed empty result: run the kernel locally on an empty input.
+        # schema() is None when the input dataset itself was empty with
+        # no executed map task (e.g. zero drop keys feeding a bloom
+        # build) — kernels guard on num_rows before touching columns,
+        # so a zero-column empty is a valid probe there
+        sch = mat.schema()
+        base = sch.base_schema if sch is not None else pa.schema([])
+        empty = pa.Table.from_pylist([], schema=base)
         out = kernel(empty)
         if not isinstance(out, pa.Table):
             out = pa.Table.from_pandas(out, preserve_index=False)
