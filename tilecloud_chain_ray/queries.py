@@ -111,25 +111,38 @@ def q_tile_counts_per_zoom(sf_dir: str) -> pa.Table:
         g = df.groupby(["z", "tx", "ty"]).size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    from tilecloud_chain_ray.util import narrow_partials
+    from tilecloud_chain_ray.util import hash_group_blocks
 
-    partials = narrow_partials(
-        assigned.map_batches(per_zoom_partial, batch_format="pyarrow")
+    def sum_tiles(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["z", "tx", "ty"]).aggregate([("n", "sum")])
+        return t.rename_columns(["z", "tx", "ty", "n"])
+
+    tile_counts = hash_group_blocks(
+        assigned.map_batches(per_zoom_partial, batch_format="pyarrow"),
+        ["z", "tx", "ty"],
+        sum_tiles,
     )
-    tile_counts = partials.groupby(["z", "tx", "ty"]).aggregate(Sum("n", alias_name="n"))
 
     # second aggregation stays a pure vectorized aggregate: a z-14 zoom
-    # has ~10^8 distinct tiles — never materialize one zoom as a group
-    def tile_rows(batch: pa.Table) -> pa.Table:
-        out = batch.select(["z"])
-        return out.append_column(
-            "one", pa.array(np.ones(batch.num_rows, dtype=np.int64), pa.int64())
-        ).append_column("docs", batch["n"])
+    # has ~10^8 distinct tiles — never materialize one zoom as a group.
+    # Combiner per block, then a 15-key exchange.
+    def zoom_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "z": batch["z"],
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64), pa.int64()),
+                "docs": batch["n"],
+            }
+        )
+        g = t.group_by(["z"]).aggregate([("one", "sum"), ("docs", "sum")])
+        return g.rename_columns(["z", "n_tiles", "n_docs"])
 
-    return (
-        tile_counts.map_batches(tile_rows, batch_format="pyarrow")
-        .groupby("z")
-        .aggregate(Sum("one", alias_name="n_tiles"), Sum("docs", alias_name="n_docs"))
+    def sum_zoom(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["z"]).aggregate([("n_tiles", "sum"), ("n_docs", "sum")])
+        return g.rename_columns(["z", "n_tiles", "n_docs"])
+
+    return hash_group_blocks(
+        tile_counts.map_batches(zoom_partial, batch_format="pyarrow"), ["z"], sum_zoom
     )
 
 
@@ -296,15 +309,25 @@ def q_quality_hist(sf_dir: str) -> ray.data.Dataset:
     docs = _read(sf_dir, "documents", ["text"])
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        # per-block combiner: ship (bucket, partial count), not one row
+        # per doc, into the (<=11)-key exchange
         scored = quality_score_batch(batch)
         q = scored["quality"].to_numpy(zero_copy_only=False)
         bucket = np.floor(q * 10.0).astype(np.int64)
-        return pa.Table.from_pydict({"bucket": pa.array(bucket, pa.int64())})
+        u, c = np.unique(bucket, return_counts=True)
+        return pa.Table.from_pydict(
+            {"bucket": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())}
+        )
 
-    return (
-        docs.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Count(alias_name="n"))
+    from tilecloud_chain_ray.util import hash_group_blocks
+
+    def sum_buckets(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["bucket"]).aggregate([("n", "sum")]).rename_columns(
+            ["bucket", "n"]
+        )
+
+    return hash_group_blocks(
+        docs.map_batches(bucketize, batch_format="pyarrow"), ["bucket"], sum_buckets
     )
 
 
@@ -1271,11 +1294,11 @@ def q_curate_counts(sf_dir: str) -> ray.data.Dataset:
         bench_shingles=bench,
         sample_rates=SAMPLE_RATES,
     )
-    # per-block combiner -> narrowed partials -> tiny bounded-key
-    # groupby: the direct Count/Sum groupby pays a full-width sort
-    # exchange over survivor rows (measured 2.5-3.0 s vs 2.05 s at
-    # sf0.1/32 cpus); partial rows are (blocks x langs)-scale
-    from tilecloud_chain_ray.util import narrow_partials
+    # per-block combiner -> tiny bounded-key task exchange: the direct
+    # Count/Sum groupby pays a full-width sort exchange over survivor
+    # rows (measured 2.5-3.0 s vs 2.05 s at sf0.1/32 cpus); partial
+    # rows are (blocks x langs)-scale
+    from tilecloud_chain_ray.util import hash_group_blocks
 
     def rollup_partial(batch: pa.Table) -> pa.Table:
         t = batch.group_by("lang").aggregate([("n_tokens", "count"), ("n_tokens", "sum")])
@@ -1284,14 +1307,14 @@ def q_curate_counts(sf_dir: str) -> ray.data.Dataset:
     parts = result.survivors.select_columns(["lang", "n_tokens"]).map_batches(
         rollup_partial, batch_format="pyarrow"
     )
-    return (
-        narrow_partials(parts)
-        .groupby("lang")
-        .aggregate(
-            Sum("n_survivors", alias_name="n_survivors"),
-            Sum("sum_tokens", alias_name="sum_tokens"),
+
+    def sum_langs(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang"]).aggregate(
+            [("n_survivors", "sum"), ("sum_tokens", "sum")]
         )
-    )
+        return g.rename_columns(["lang", "n_survivors", "sum_tokens"])
+
+    return hash_group_blocks(parts, ["lang"], sum_langs)
 
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")

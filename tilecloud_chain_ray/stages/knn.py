@@ -18,7 +18,32 @@ import pyarrow as pa
 import ray
 
 from tilecloud_chain_ray.functions.cells import cell_decode, grid_disk
-from tilecloud_chain_ray.util import vecs_from_arrow
+from tilecloud_chain_ray.util import hash_group_blocks, vecs_from_arrow
+
+
+def _merge_topk(partials: ray.data.Dataset, key_col: str, k: int) -> ray.data.Dataset:
+    """Global per-query top-k over the local-top-k partials, shared by
+    every ANN variant.  One task-exchange pass (util.hash_group_blocks
+    — no sort-groupby, so no schema-less empty bundles) whose kernel
+    merges EVERY query_id co-located in its hash partition in one
+    vectorized sort: score descending, ``key_col`` ascending tie-break,
+    rank 1..k — identical semantics to the per-group pandas merge it
+    replaces."""
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["query_id", "score", key_col], ascending=[True, False, True]
+        )
+        out = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+        out["rank"] = (
+            out.groupby("query_id", sort=False).cumcount().to_numpy(dtype=np.int64) + 1
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return hash_group_blocks(partials, ["query_id"], merge)
 
 
 def knn_brute(
@@ -70,13 +95,7 @@ def knn_brute(
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["score", key_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk(partials, key_col, k)
 
 
 def knn_lsh(
@@ -163,13 +182,7 @@ def knn_lsh(
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["score", key_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk(partials, key_col, k)
 
 
 def spherical_kmeans(
@@ -278,13 +291,7 @@ def knn_ivf(
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["score", key_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk(partials, key_col, k)
 
 
 def _kmeans(x: np.ndarray, n_codes: int, iters: int = 12, seed: int = 9) -> np.ndarray:
@@ -441,13 +448,7 @@ def knn_ivf_pq(
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["score", key_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk(partials, key_col, k)
 
 
 def knn_cell(
