@@ -39,7 +39,6 @@ import dataclasses
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -98,16 +97,25 @@ def make_md5_bucket(text_col: str, n_buckets: int):
     return add_bucket
 
 
-def make_dedup_bucket(key_col: str):
-    """Per-bucket exact-dedup group kernel: min-key survivor per
-    content md5 (deterministic no matter the block layout)."""
+def make_dedup_partition(key_col: str):
+    """Exact-dedup kernel for the task exchange: min-key survivor per
+    content md5 over one hash partition (deterministic no matter the
+    block layout).  md5 groups never straddle partitions (the partition
+    key IS the md5-derived bucket), so drop_duplicates is exact no
+    matter how many buckets co-locate in a partition."""
 
-    def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["content_md5", key_col])
-        g = g.drop_duplicates("content_md5", keep="first")
-        return g.drop(columns=["content_md5", "_bucket"])
+    def dedup_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.drop_columns(["content_md5", "_bucket"])
+        g = (
+            batch.to_pandas()
+            .sort_values(["content_md5", key_col])
+            .drop_duplicates("content_md5", keep="first")
+            .drop(columns=["content_md5", "_bucket"])
+        )
+        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
 
-    return dedup_bucket
+    return dedup_partition
 
 
 def curate_corpus(
@@ -223,20 +231,7 @@ def curate_corpus(
 
     # exact content dedup: one salted-bucket shuffle of the surviving
     # rows; survivor per md5 = min key (deterministic, layout-free)
-    def dedup_partition(batch: pa.Table) -> pa.Table:
-        """Min-key survivor per content md5 over one hash partition —
-        md5 groups never straddle partitions (the partition key IS the
-        md5-derived bucket), so drop_duplicates is exact regardless of
-        how many buckets co-locate."""
-        if batch.num_rows == 0:
-            return batch.drop_columns(["content_md5", "_bucket"])
-        g = (
-            batch.to_pandas()
-            .sort_values(["content_md5", key_col])
-            .drop_duplicates("content_md5", keep="first")
-            .drop(columns=["content_md5", "_bucket"])
-        )
-        return strip_meta(pa.Table.from_pandas(g, preserve_index=False))
+    dedup_partition = make_dedup_partition(key_col)
 
     tagged = filtered.map_batches(
         make_md5_bucket(text_col, n_buckets), batch_format="pyarrow"

@@ -55,12 +55,12 @@ import ray
 from tilecloud_chain_ray.pipelines.curate import (
     CurateResult,
     make_analyze_filter,
-    make_dedup_bucket,
+    make_dedup_partition,
     make_md5_bucket,
 )
 from tilecloud_chain_ray.sinks import lineage as lin
 from tilecloud_chain_ray.stages.curation import contaminated_mask, hash_sample_mask
-from tilecloud_chain_ray.util import read_parquet_clean
+from tilecloud_chain_ray.util import hash_group_blocks, read_parquet_clean
 
 
 def _shard_id(path: str) -> int:
@@ -310,9 +310,10 @@ def curate_resumable(
         os.path.join(partials_dir, f"filtered_{sid:012x}.parquet") for sid in sorted(sids)
     ]
     partials = read_parquet_clean(part_files)
-    survivors = partials.groupby("_bucket").map_groups(
-        make_dedup_bucket(key_col), batch_format="pandas"
-    )
+    # round 5: same task exchange as the non-resumable curate — the
+    # COMMITTED _bucket tag is the partition key, so resume attempts
+    # with different cluster widths still co-locate identical md5s
+    survivors = hash_group_blocks(partials, ["_bucket"], make_dedup_partition(key_col))
     if near_dedup_threshold is not None:
         # near-dedup rides phase 2's recompute-on-resume model: pairs,
         # clustering and the min-key survivor rule are all deterministic

@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -48,9 +47,11 @@ def cell_counts(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
+    from tilecloud_chain_ray.util import exchange_aggregate
 
-    return partials.groupby(cell_col).aggregate(Sum(count_col, alias_name=count_col))
+    return exchange_aggregate(
+        partials, [cell_col], [(count_col, "sum")], [cell_col, count_col]
+    )
 
 
 def pixel_rows_all_zooms(counts: ray.data.Dataset, zooms: Sequence[int]) -> ray.data.Dataset:
@@ -166,17 +167,34 @@ def assemble_and_render_tiles(
             }
         )
 
-    def assemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def assemble_partition(t: pa.Table) -> pa.Table:
         """Sum duplicate pixels and emit ONE ROW PER TILE carrying its
         pixel arrays — the cheap reduce leg.  PNG encoding is NOT done
-        here: Ray's sort-based groupby packs the 64 buckets into a
-        handful of output blocks, so anything heavy inside map_groups
-        runs at block parallelism (~4-8), not bucket parallelism — the
-        round-2 bench measured the render leg flat at 8 vs 32 cpus
-        because of exactly this.  Emitting tile rows lets the encode
-        stage re-split into small map_batches tasks."""
-        full = np.concatenate([np.frombuffer(a, dtype=np.uint64) for a in df["keys"]])
-        n = np.concatenate([np.frombuffer(a, dtype=np.int64) for a in df["ns"]])
+        here: one merge task per hash partition (util.hash_group_blocks)
+        emits tile rows so the encode stage re-splits into small
+        map_batches tasks at full parallelism (the round-2 bench
+        measured the render leg flat at 8 vs 32 cpus when it ran at
+        sorted-block parallelism).  Multi-bucket co-location is safe:
+        the kernel keys on the packed tile ids themselves — the bucket
+        column only spreads the exchange."""
+        from tilecloud_chain_ray.util import binary_views
+
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "z": pa.array([], pa.int32()),
+                    "x": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64()),
+                    "pix": pa.array([], pa.binary()),
+                    "pns": pa.array([], pa.binary()),
+                }
+            )
+        full = np.concatenate(
+            [np.frombuffer(a, dtype=np.uint64) for a in binary_views(t["keys"])]
+        )
+        n = np.concatenate(
+            [np.frombuffer(a, dtype=np.int64) for a in binary_views(t["ns"])]
+        )
         order = np.argsort(full, kind="stable")
         full, n = full[order], n[order]
         # collapse duplicate (tile, pixel) keys
@@ -190,15 +208,20 @@ def assemble_and_render_tiles(
         z = (tile_key >> np.uint64(44)).astype(np.int64)
         starts = np.flatnonzero(np.r_[True, tile_key[1:] != tile_key[:-1]])
         ends = np.r_[starts[1:], len(tile_key)]
-        return pd.DataFrame(
+        return pa.Table.from_pydict(
             {
-                "z": z[starts].astype(np.int32),
-                "x": tx[starts],
-                "y": ty[starts],
+                "z": pa.array(z[starts].astype(np.int32), pa.int32()),
+                "x": pa.array(tx[starts], pa.int64()),
+                "y": pa.array(ty[starts], pa.int64()),
                 # packed byte payloads (uint16 pixel ids, int64 counts):
                 # binary cells move as buffers, no per-element Python
-                "pix": [pix[s:e].astype(np.uint16).tobytes() for s, e in zip(starts, ends)],
-                "pns": [sums[s:e].tobytes() for s, e in zip(starts, ends)],
+                "pix": pa.array(
+                    [pix[s:e].astype(np.uint16).tobytes() for s, e in zip(starts, ends)],
+                    pa.binary(),
+                ),
+                "pns": pa.array(
+                    [sums[s:e].tobytes() for s, e in zip(starts, ends)], pa.binary()
+                ),
             }
         )
 
@@ -227,18 +250,19 @@ def assemble_and_render_tiles(
             }
         )
 
-    return (
-        partials.map_batches(bundle, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(assemble_bucket, batch_format="pandas")
-        # re-split the (small) per-tile rows into n_buckets blocks:
-        # map_batches parallelism is per BLOCK, and the sort upstream
-        # packs its output into a handful of blocks — without this the
-        # encode stage runs at sorted-block parallelism (~4), which the
-        # round-2 bench measured as a flat density leg at 8 vs 32 cpus
-        .repartition(n_buckets)
-        .map_batches(render_tiles, batch_format="pyarrow")
+    from tilecloud_chain_ray.util import hash_group_blocks
+
+    # task exchange with one merge per bucket partition: the encode
+    # stage downstream sees n_buckets blocks directly (no repartition
+    # needed — the old sort path packed its output into ~4 blocks and
+    # ran the render leg flat at 8 vs 32 cpus until re-split)
+    assembled = hash_group_blocks(
+        partials.map_batches(bundle, batch_format="pyarrow"),
+        ["bucket"],
+        assemble_partition,
+        num_partitions=n_buckets,
     )
+    return assembled.map_batches(render_tiles, batch_format="pyarrow")
 
 
 def density_pyramid(

@@ -192,10 +192,12 @@ def q_cell_counts_r8(sf_dir: str) -> ray.data.Dataset:
         g = df.groupby(["cell_x", "cell_y"]).size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    from tilecloud_chain_ray.util import narrow_partials
+    from tilecloud_chain_ray.util import exchange_aggregate
 
-    partials = narrow_partials(docs.map_batches(cells, batch_format="pyarrow"))
-    return partials.groupby(["cell_x", "cell_y"]).aggregate(Sum("n", alias_name="n"))
+    partials = docs.map_batches(cells, batch_format="pyarrow")
+    return exchange_aggregate(
+        partials, ["cell_x", "cell_y"], [("n", "sum")], ["cell_x", "cell_y", "n"]
+    )
 
 
 # ---------------------------------------------------------------------------

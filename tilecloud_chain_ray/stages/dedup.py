@@ -47,15 +47,21 @@ def exact_dedup(
     payload never moves; survivors are re-joined by key upstream if
     needed.  Returns (content_md5, keep_key, dup_count).
     """
-    from ray.data.aggregate import Count, Min
+    from tilecloud_chain_ray.util import exchange_aggregate
 
     hashed = ds.map_batches(
         lambda b: add_md5(b, text_col).select([key_col, "content_md5"]),
         batch_format="pyarrow",
     )
-    # pure vectorized hash aggregation — never a per-group Python call
-    return hashed.groupby("content_md5").aggregate(
-        Min(key_col, alias_name="keep_key"), Count(alias_name="dup_count")
+    # pure vectorized hash aggregation — never a per-group Python call;
+    # md5 keys are ~all-distinct so there is nothing to pre-combine,
+    # but the task exchange still beats the sort-groupby (no ordering
+    # of the ~one-row groups, no zero-schema empty bundles)
+    return exchange_aggregate(
+        hashed,
+        ["content_md5"],
+        [(key_col, "min"), (key_col, "count")],
+        ["content_md5", "keep_key", "dup_count"],
     )
 
 

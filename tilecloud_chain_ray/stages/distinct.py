@@ -7,22 +7,20 @@ operator ships the same information as ~``n_batches * n_groups *
 n_buckets`` rows, each carrying a SORTED UNIQUE int64 key array:
 
 1. per input batch: unique keys per (group, hash-bucket) -> one list row,
-2. groupby (group, bucket): merge arrays with np.unique(concat) -> one
-   partial-count row per (group, bucket),
-3. groupby (group): Sum the partials.
+2. task exchange on (group, bucket): every co-located cell merges in one
+   lexsort pass -> one partial row per group per partition,
+3. task exchange on (group): sum the partials.
 
 The heavy payload crosses the wire once, in columnar list blocks, and
-the sort only orders thousands of bundle rows.  Measured on the 800k-
+the exchanges move only thousands of bundle/partial rows.  Measured on the 800k-
 page z0-14 pyramid: 62 s (row-per-key aggregate) -> ~8 s.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Sum
 
 from tilecloud_chain_ray.util import default_buckets
 
@@ -34,23 +32,20 @@ def grouped_distinct_counts(
     n_buckets: int | None = None,
     count_col: str = "n_distinct",
     rows_col: str = "n_rows",
-    shuffle_blocks: int | None = None,
+    shuffle_blocks: int | None = None,  # retired knob, kept for API compat
 ) -> ray.data.Dataset:
     """Per-group exact distinct(key) + row counts.
 
     Returns (group_col, n_distinct, n_rows).  Key column must be int64.
 
-    ``shuffle_blocks`` coalesces the bundle rows before the groupby:
-    the shuffle key-space is bounded (n_groups x n_buckets), so the
-    sort exchange never needs more width than that — narrowing it from
-    "one block per input block" cuts the exchange's fixed overhead
-    (measured 2.45 s -> 1.85 s on the z0-14 pyramid at sf0.1) without
-    moving any extra bytes.  Default: n_buckets // 4, floor 8.
+    The bundle rows move through :func:`util.hash_group_blocks` (round
+    5): the former sort-groupby needed a ``shuffle_blocks`` repartition
+    to narrow its exchange, and still emitted zero-schema empty bundles
+    on duplicate sampled boundaries; the task exchange needs neither —
+    ``shuffle_blocks`` is accepted but ignored.
     """
     if n_buckets is None:
         n_buckets = default_buckets()
-    if shuffle_blocks is None:
-        shuffle_blocks = max(8, n_buckets // 4)
 
     def bundle(batch: pa.Table) -> pa.Table:
         g = batch[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -101,26 +96,62 @@ def grouped_distinct_counts(
             }
         )
 
-    bundles = ds.map_batches(bundle, batch_format="pyarrow").repartition(
-        shuffle_blocks, shuffle=False
-    )
+    bundles = ds.map_batches(bundle, batch_format="pyarrow")
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        arrays = [np.asarray(a, dtype=np.int64) for a in group["keys"]]
-        distinct = len(np.unique(np.concatenate(arrays))) if arrays else 0
-        return pd.DataFrame(
+    def merge_partition(t: pa.Table) -> pa.Table:
+        """Multi-cell kernel for the task exchange: every co-located
+        (group, bucket) cell merges in ONE vectorized lexsort pass —
+        distinct counts add across a group's cells because the buckets
+        partition the key space, so the output is already a per-group
+        partial (one row per group per partition)."""
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "nr": pa.array([], pa.int64()),
+                }
+            )
+        import pyarrow.compute as pc
+
+        gb = t["gb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(t["keys"]).to_numpy(zero_copy_only=False)
+        vals = (
+            t["keys"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        gb_rep = np.repeat(gb, lens.astype(np.int64))
+        order = np.lexsort((vals, gb_rep))
+        gs, ks = gb_rep[order], vals[order]
+        pair_new = np.r_[True, (gs[1:] != gs[:-1]) | (ks[1:] != ks[:-1])]
+        uniq_gb = gs[pair_new]
+        cell_starts = np.flatnonzero(np.r_[True, uniq_gb[1:] != uniq_gb[:-1]])
+        cell_g = uniq_gb[cell_starts] // n_buckets
+        nd_per_cell = np.diff(np.append(cell_starts, len(uniq_gb)))
+        g_starts = np.flatnonzero(np.r_[True, cell_g[1:] != cell_g[:-1]])
+        g_vals = cell_g[g_starts]
+        nd = np.add.reduceat(nd_per_cell, g_starts)
+        # row totals per group: same sorted-unique group order (every
+        # bundle row carries >=1 key, so both passes see the same set)
+        rows = t["rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g_of_rows = gb // n_buckets
+        order2 = np.argsort(g_of_rows, kind="stable")
+        g2, r2 = g_of_rows[order2], rows[order2]
+        s2 = np.flatnonzero(np.r_[True, g2[1:] != g2[:-1]])
+        nr = np.add.reduceat(r2, s2)
+        return pa.Table.from_pydict(
             {
-                "g": [int(group["gb"].iloc[0]) // n_buckets],
-                "nd": [distinct],
-                "nr": [int(group["rows"].sum())],
+                "g": pa.array(g_vals, pa.int64()),
+                "nd": pa.array(nd, pa.int64()),
+                "nr": pa.array(nr, pa.int64()),
             }
         )
 
-    partials = bundles.groupby("gb").map_groups(merge, batch_format="pandas")
-    out = partials.groupby("g").aggregate(
-        Sum("nd", alias_name=count_col), Sum("nr", alias_name=rows_col)
-    )
-    return out.map_batches(
-        lambda b: b.rename_columns([group_col, count_col, rows_col]),
-        batch_format="pyarrow",
+    from tilecloud_chain_ray.util import exchange_aggregate, hash_group_blocks
+
+    partials = hash_group_blocks(bundles, ["gb"], merge_partition)
+    return exchange_aggregate(
+        partials,
+        ["g"],
+        [("nd", "sum"), ("nr", "sum")],
+        [group_col, count_col, rows_col],
     )

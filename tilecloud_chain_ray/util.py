@@ -360,3 +360,18 @@ def hash_group_blocks(ds, keys, kernel, num_partitions=None):
     if not keep:
         keep = [out_refs[0]]  # typed empty output from the kernel
     return ray.data.from_arrow_refs(keep)
+
+
+def exchange_aggregate(ds, keys, aggs, names, num_partitions=None):
+    """Bounded-boilerplate grouped aggregate on :func:`hash_group_blocks`:
+    one Acero ``group_by(keys).aggregate(aggs)`` kernel per non-empty
+    hash partition (pyarrow puts the key columns first, then one column
+    per agg — ``names`` renames that full output).  Drop-in for
+    ``ds.groupby(keys).aggregate(...)`` when the caller already ships
+    per-block partials: same exactness, no sort, no zero-schema empty
+    bundles, and the exchange width follows :func:`default_buckets`."""
+
+    def kernel(t):
+        return t.group_by(list(keys)).aggregate(list(aggs)).rename_columns(list(names))
+
+    return hash_group_blocks(ds, list(keys), kernel, num_partitions)
