@@ -516,17 +516,30 @@ def knn_cell(
 
     cand = ds.map_batches(explode, batch_format="pyarrow")
 
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
-        cx, cy = ray.get(centers_ref)[int(group["query_cell"].iloc[0])]
+    def topk_partition(batch: pa.Table) -> pa.Table:
+        """Task-exchange kernel: every query_cell co-located in this
+        hash partition ranks in ONE vectorized pass (centers looked up
+        once per distinct cell, dist computed columnar, lexsort +
+        groupby-head) — identical semantics to the per-group pandas
+        merge it replaces."""
+        df = batch.to_pandas()
+        centers = ray.get(centers_ref)
+        qc = df["query_cell"].to_numpy()
+        uniq, inv = np.unique(qc, return_inverse=True)
+        cs = np.array(
+            [centers[int(u)] for u in uniq], dtype=np.float64
+        ).reshape(-1, 2)
         if micro_res is not None:
-            dx = group[x_col].to_numpy().astype(np.int64) - np.int64(cx)
-            dy = group[y_col].to_numpy().astype(np.int64) - np.int64(cy)
+            dx = df[x_col].to_numpy().astype(np.int64) - cs[inv, 0].astype(np.int64)
+            dy = df[y_col].to_numpy().astype(np.int64) - cs[inv, 1].astype(np.int64)
             d = dx * dx + dy * dy  # exact int64 (|d| < 2^59 inside the ring)
         else:
-            d = np.hypot(group[x_col].to_numpy() - cx, group[y_col].to_numpy() - cy)
-        g = group.assign(dist=d).sort_values(["dist", key_col]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+            d = np.hypot(df[x_col].to_numpy() - cs[inv, 0], df[y_col].to_numpy() - cs[inv, 1])
+        df = df.assign(dist=d).sort_values(["query_cell", "dist", key_col])
+        out = df.groupby("query_cell", sort=False).head(k).reset_index(drop=True)
+        out["rank"] = (
+            out.groupby("query_cell", sort=False).cumcount().to_numpy(dtype=np.int64) + 1
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
-    return cand.groupby("query_cell").map_groups(topk, batch_format="pandas")
+    return hash_group_blocks(cand, ["query_cell"], topk_partition)
