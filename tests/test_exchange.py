@@ -1,0 +1,99 @@
+"""Direct unit tests for util.hash_group_blocks / util.exchange_aggregate
+— the round-5 task exchange every bounded-key shuffle rides.
+
+Covers the contract edges the pipeline tests only hit incidentally:
+string keys, multi-column keys, empty input (typed-empty fallback),
+partition widths 1/3/16 (including widths >> distinct keys, so most
+merge tasks see zero rows), and key co-location (each key's rows meet
+exactly one kernel invocation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from tilecloud_chain_ray.util import exchange_aggregate, hash_group_blocks
+
+
+def _table(n=1000, seed=7):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "g": rng.integers(0, 13, n),
+            "s": pa.array([f"k{v}" for v in rng.integers(0, 5, n)]),
+            "v": rng.integers(-50, 50, n),
+        }
+    )
+
+
+def test_exchange_aggregate_matches_pandas(ray_session):
+    t = _table()
+    ds = ray.data.from_arrow(t).repartition(7)
+    for width in (1, 3, 16):
+        out = (
+            exchange_aggregate(
+                ds,
+                ["g", "s"],
+                [("v", "sum"), ("v", "min"), ("v", "count")],
+                ["g", "s", "v_sum", "v_min", "v_count"],
+                num_partitions=width,
+            )
+            .to_pandas()
+            .sort_values(["g", "s"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            t.to_pandas()
+            .groupby(["g", "s"], as_index=False)
+            .agg(v_sum=("v", "sum"), v_min=("v", "min"), v_count=("v", "count"))
+            .sort_values(["g", "s"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            out.astype({"v_count": "int64"}), exp.astype({"v_count": "int64"})
+        )
+
+
+def test_hash_group_blocks_colocates_keys(ray_session):
+    # kernel tags every row with a partition serial; a key straddling
+    # two kernel invocations would show two serials for one key
+    t = _table(n=400, seed=3)
+    ds = ray.data.from_arrow(t).repartition(5)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        import uuid
+
+        tag = uuid.uuid4().hex
+        return tbl.append_column("part", pa.array([tag] * tbl.num_rows))
+
+    out = hash_group_blocks(ds, ["g"], kernel, num_partitions=4).to_pandas()
+    assert len(out) == 400
+    assert (out.groupby("g")["part"].nunique() == 1).all()
+
+
+def test_hash_group_blocks_empty_input(ray_session):
+    empty = pa.table({"g": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    ds = ray.data.from_arrow(empty)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        assert tbl.num_rows == 0
+        return pa.table({"g": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+
+    out = hash_group_blocks(ds, ["g"], kernel)
+    assert out.count() == 0
+    assert out.schema().names == ["g", "n"]
+
+
+def test_hash_group_blocks_width_exceeds_keys(ray_session):
+    # 2 distinct keys through 16 partitions: 14+ merges see zero rows
+    # and must not emit blocks (nor zero-schema bundles)
+    t = pa.table({"g": pa.array([1, 2] * 50), "v": pa.array(range(100))})
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = exchange_aggregate(
+        ds, ["g"], [("v", "sum")], ["g", "v_sum"], num_partitions=16
+    ).to_pandas()
+    assert sorted(out["g"]) == [1, 2]
+    assert out["v_sum"].sum() == sum(range(100))

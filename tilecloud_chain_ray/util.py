@@ -341,20 +341,26 @@ def hash_group_blocks(ds, keys, kernel, num_partitions=None):
         if not isinstance(out, pa.Table):
             out = pa.Table.from_pandas(out, preserve_index=False)
         return ray.data.from_arrow(strip_meta(out))
-    splits = [
-        _split.options(num_returns=num_partitions).remote(
-            ref, num_partitions, tuple(keys)
-        )
-        for ref in block_refs
-    ]
-    if num_partitions == 1:
-        splits = [[s] for s in splits]
     kern_ref = ray.put(kernel)
     out_refs, count_refs = [], []
-    for p in range(num_partitions):
-        o, c = _merge.remote(kern_ref, *[s[p] for s in splits])
+    if num_partitions == 1:
+        # degenerate width: no split layer (Ray's num_returns=1 would
+        # hand _merge the slice LIST, not the table) — one merge over
+        # every input block, which is the same exchange semantics
+        o, c = _merge.remote(kern_ref, *block_refs)
         out_refs.append(o)
         count_refs.append(c)
+    else:
+        splits = [
+            _split.options(num_returns=num_partitions).remote(
+                ref, num_partitions, tuple(keys)
+            )
+            for ref in block_refs
+        ]
+        for p in range(num_partitions):
+            o, c = _merge.remote(kern_ref, *[s[p] for s in splits])
+            out_refs.append(o)
+            count_refs.append(c)
     counts = ray.get(count_refs)
     keep = [r for r, n in zip(out_refs, counts) if n]
     if not keep:
