@@ -4,7 +4,8 @@ geocoded rows -> per-cell counts at the finest resolution (ONE shuffle,
 pre-aggregated inside map_batches so only (cell, partial_count) rows
 move) -> per-zoom rollups of the (small) count table -> data-driven
 tile rows (only tiles that contain data — a z-14 pyramid never
-enumerates its empty tiles) -> DensityRenderer -> hash-drop -> sinks.
+enumerates its empty tiles) -> per-partition assembly + PNG render
+(stages/render.render_density_image) -> hash-drop -> sinks.
 
 Tile/pixel alignment: 256-px tiles on a 2^z matrix (WEBMERC) make a
 pixel at zoom z exactly a cell at res z+8, so per-pixel counts are
@@ -27,7 +28,6 @@ from tilecloud_chain_ray.stages.hashdrop import (
     finalize_tiles,
     make_hash_dropper,
 )
-from tilecloud_chain_ray.stages.render import DensityRenderer
 from tilecloud_chain_ray.util import default_buckets, read_parquet_clean
 
 

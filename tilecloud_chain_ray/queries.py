@@ -26,7 +26,7 @@ from tilecloud_chain_ray.functions.hashing import micro_from_ids, micro_tile
 from tilecloud_chain_ray.geom import box
 from tilecloud_chain_ray.grid import SWISSGRID_5
 from tilecloud_chain_ray.stages.geocode import make_geocoder
-from tilecloud_chain_ray.stages.pip_join import PIPJoin, pip_join_tasks
+from tilecloud_chain_ray.stages.pip_join import pip_join_tasks
 from tilecloud_chain_ray.stages import dedup as dedup_mod
 from tilecloud_chain_ray.stages import knn as knn_mod
 from tilecloud_chain_ray.stages.text import (

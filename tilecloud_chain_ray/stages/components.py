@@ -38,10 +38,11 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Sum
 
 from tilecloud_chain_ray.util import (  # noqa: F401  (read_parquet_clean: doc link)
     default_buckets,
+    exchange_aggregate,
     read_parquet_clean,
 )
 
@@ -123,12 +124,15 @@ def connected_components(
 
     messages = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
 
-    # labels start as the node's own key
-    labels = (
-        messages.select_columns(["node"])
-        .groupby("node")
-        .aggregate(Min("node", alias_name="label"))
-        .materialize()
+    # labels start as the node's own key (task exchange: node keys
+    # are ~one per doc — a sort over that key space per round is the
+    # exact shape hash_group_blocks replaces)
+    labels = exchange_aggregate(
+        messages.select_columns(["node"]),
+        ["node"],
+        [("node", "min")],
+        ["node", "label"],
+        num_partitions=n_buckets,
     )
     prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
 
@@ -156,16 +160,19 @@ def connected_components(
             .union(labels.select_columns(["node", "label"]))
             .union(doubled)
         )
-        # repartition to a FIXED block count before materializing: the
-        # union + join lineage otherwise multiplies block counts every
-        # round (union concatenates block lists), and per-block fixed
-        # costs blow up geometrically (measured: rounds of 1.1 s ->
-        # 119 s by round 4 without this).
-        labels = (
-            candidates.groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .repartition(n_buckets)
-            .materialize()
+        # the exchange emits ONE block per non-empty partition (<=
+        # n_buckets), which also fixes the block count the union +
+        # join lineage otherwise multiplies every round (union
+        # concatenates block lists; per-block fixed costs measured
+        # blowing up 1.1 s -> 119 s by round 4 before the fixed-count
+        # repartition this replaces), and its output is concrete
+        # object-store refs — no extra materialize needed
+        labels = exchange_aggregate(
+            candidates,
+            ["node"],
+            [("label", "min")],
+            ["node", "label"],
+            num_partitions=n_buckets,
         )
         # labels only decrease -> sum fixpoint == convergence.  int64
         # sum is exact while n_nodes * max_key < 2^63 (e.g. 2^22 nodes
