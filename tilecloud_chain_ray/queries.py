@@ -803,7 +803,11 @@ def q_density_tiles(sf_dir: str) -> ray.data.Dataset:
         return pa.concat_tables(parts)
 
     partials = docs.map_batches(assign, batch_format="pyarrow")
-    return partials.groupby(["z", "x", "y"]).aggregate(Sum("n", alias_name="n_points"))
+    from tilecloud_chain_ray.util import exchange_aggregate
+
+    return exchange_aggregate(
+        partials, ["z", "x", "y"], [("n", "sum")], ["z", "x", "y", "n_points"]
+    )
 
 
 def q_vectorize_pixels(sf_dir: str) -> ray.data.Dataset:
@@ -825,7 +829,15 @@ def q_vectorize_pixels(sf_dir: str) -> ray.data.Dataset:
     layer = Layer(name="doc_density", grid=WEBMERC, meta=False)
     result = density_pyramid(docs, layer, zooms=[0, 1, 2, 3, 4], with_summary=False)
     pixels = vectorize_tiles(result.tiles, with_cells=False)
-    return pixels.groupby(["z", "x", "y"]).aggregate(Count(alias_name="n_pixels"))
+    from tilecloud_chain_ray.util import exchange_aggregate
+
+    # count_all: pixel rows carry no dedicated count column to count
+    return exchange_aggregate(
+        pixels.select_columns(["z", "x", "y"]),
+        ["z", "x", "y"],
+        [([], "count_all")],
+        ["z", "x", "y", "n_pixels"],
+    )
 
 
 def q_generate_point_hash(sf_dir: str) -> pa.Table:
