@@ -87,6 +87,36 @@ def test_hash_group_blocks_empty_input(ray_session):
     assert out.schema().names == ["g", "n"]
 
 
+def test_null_int_keys_hash_consistently(ray_session):
+    # one block carries nulls, another doesn't: the same non-null key
+    # must land in ONE partition regardless (a per-block dtype branch
+    # would split it), and nulls group together as their own key
+    t1 = pa.table({"g": pa.array([1, 2, None, 2], pa.int64()), "v": pa.array([1, 2, 3, 4])})
+    t2 = pa.table({"g": pa.array([1, 2, 1], pa.int64()), "v": pa.array([5, 6, 7])})
+    ds = ray.data.from_arrow([t1, t2])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        import uuid
+
+        return tbl.append_column("part", pa.array([uuid.uuid4().hex] * tbl.num_rows))
+
+    out = hash_group_blocks(ds, ["g"], kernel, num_partitions=8).to_pandas()
+    assert len(out) == 7
+    assert (out.groupby("g", dropna=False)["part"].nunique() == 1).all()
+    agg = exchange_aggregate(ds, ["g"], [("v", "sum")], ["g", "v_sum"], num_partitions=8)
+    got = agg.to_pandas().sort_values("g").reset_index(drop=True)
+    exp = (
+        pa.concat_tables([t1, t2])
+        .to_pandas()
+        .groupby("g", as_index=False, dropna=False)["v"]
+        .sum()
+        .rename(columns={"v": "v_sum"})
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_hash_group_blocks_width_exceeds_keys(ray_session):
     # 2 distinct keys through 16 partitions: 14+ merges see zero rows
     # and must not emit blocks (nor zero-schema bundles)

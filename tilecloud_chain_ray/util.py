@@ -246,9 +246,22 @@ def _combined_key_hash(batch, keys):
     import numpy as np
     import pandas as pd
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     acc = None
     for c in keys:
-        v = batch[c].to_numpy(zero_copy_only=False)
+        col = batch[c]
+        # nulls in an int column surface as NaN floats from to_numpy —
+        # NaN->uint64 is undefined.  Fill with a fixed sentinel BEFORE
+        # the dtype branch so the same non-null key hashes identically
+        # whether or not its block happens to contain nulls (a
+        # per-block branch would split one key across partitions); a
+        # sentinel collision merely co-locates two keys, which
+        # multi-group kernels handle by construction.
+        if pa.types.is_integer(col.type) and col.null_count:
+            col = pc.fill_null(col, -(1 << 62) + 41)
+        v = col.to_numpy(zero_copy_only=False)
         if np.issubdtype(v.dtype, np.integer):
             h = (v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(1)
         else:
