@@ -117,6 +117,54 @@ def test_null_int_keys_hash_consistently(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-5, 5)),  # int key w/ nulls
+            st.sampled_from(["a", "b", "c"]),  # string key
+            st.integers(-1000, 1000),  # value
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    width=st.sampled_from([1, 2, 7]),
+    blocks=st.integers(1, 4),
+)
+@settings(max_examples=25, deadline=None)
+def test_exchange_aggregate_property(ray_session, rows, width, blocks):
+    t = pa.table(
+        {
+            "gi": pa.array([r[0] for r in rows], pa.int64()),
+            "gs": pa.array([r[1] for r in rows]),
+            "v": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(blocks)
+    out = exchange_aggregate(
+        ds, ["gi", "gs"], [("v", "sum"), ("v", "min")], ["gi", "gs", "v_sum", "v_min"],
+        num_partitions=width,
+    ).to_pandas()
+    if not rows:
+        # Ray loses the schema of a fully-empty execution (zero-column
+        # blocks), so the documented degraded result is 0 rows — the
+        # column set is unrecoverable
+        assert len(out) == 0
+        return
+    exp = (
+        t.to_pandas()
+        .groupby(["gi", "gs"], as_index=False, dropna=False)
+        .agg(v_sum=("v", "sum"), v_min=("v", "min"))
+    )
+    key = ["gi", "gs"]
+    out = out.sort_values(key, na_position="last").reset_index(drop=True)
+    exp = exp.sort_values(key, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
 def test_hash_group_blocks_width_exceeds_keys(ray_session):
     # 2 distinct keys through 16 partitions: 14+ merges see zero rows
     # and must not emit blocks (nor zero-schema bundles)

@@ -106,7 +106,8 @@ def make_dedup_partition(key_col: str):
 
     def dedup_partition(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch.drop_columns(["content_md5", "_bucket"])
+            drop = [c for c in ("content_md5", "_bucket") if c in batch.column_names]
+            return batch.drop_columns(drop)  # tolerate the schema-less probe
         g = (
             batch.to_pandas()
             .sort_values(["content_md5", key_col])

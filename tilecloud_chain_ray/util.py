@@ -332,7 +332,9 @@ def hash_group_blocks(ds, keys, kernel, num_partitions=None):
         return out, out.num_rows
 
     mat = ds.materialize()
+    all_refs: list = []
     try:
+        all_refs = [blk for bundle in mat.iter_internal_ref_bundles() for blk, _ in bundle.blocks]
         block_refs = [
             blk
             for bundle in mat.iter_internal_ref_bundles()
@@ -343,12 +345,16 @@ def hash_group_blocks(ds, keys, kernel, num_partitions=None):
         block_refs = list(mat.to_arrow_refs())
     if not block_refs:
         # typed empty result: run the kernel locally on an empty input.
-        # schema() is None when the input dataset itself was empty with
-        # no executed map task (e.g. zero drop keys feeding a bloom
-        # build) — kernels guard on num_rows before touching columns,
-        # so a zero-column empty is a valid probe there
+        # schema() is None whenever every block is empty (Ray drops the
+        # schema even for typed 0-row blocks), so recover the type from
+        # an actual block when one exists; only a dataset with NO blocks
+        # at all (e.g. zero drop keys feeding a bloom build) probes the
+        # kernel with a zero-column empty — kernels that reference
+        # columns are exercised with their real schema either way
         sch = mat.schema()
         base = sch.base_schema if sch is not None else pa.schema([])
+        if not base.names and all_refs:
+            base = ray.get(all_refs[0]).schema
         empty = pa.Table.from_pylist([], schema=base)
         out = kernel(empty)
         if not isinstance(out, pa.Table):
@@ -390,7 +396,15 @@ def exchange_aggregate(ds, keys, aggs, names, num_partitions=None):
     per-block partials: same exactness, no sort, no zero-schema empty
     bundles, and the exchange width follows :func:`default_buckets`."""
 
+    import pyarrow as pa
+
     def kernel(t):
+        if t.num_rows == 0 and not set(keys) <= set(t.column_names):
+            # zero-column probe: a fully-empty upstream loses its schema
+            # inside Ray (plan_udf_map_op forwards empty blocks around
+            # the UDF), so the key types are unrecoverable — degrade to
+            # a typed-empty-less result instead of an Acero crash
+            return pa.table({})
         return t.group_by(list(keys)).aggregate(list(aggs)).rename_columns(list(names))
 
     return hash_group_blocks(ds, list(keys), kernel, num_partitions)
