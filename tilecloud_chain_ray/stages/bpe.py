@@ -167,9 +167,7 @@ def word_freq_table(
     corpus-scale BPE training.  Per-batch combiner (unique words per
     batch, Zipf makes this a small fraction of tokens) then one
     vocab-bounded groupby."""
-    from ray.data.aggregate import Sum
-
-    from tilecloud_chain_ray.util import narrow_partials
+    from tilecloud_chain_ray.util import exchange_aggregate
 
     def partial(batch: pa.Table) -> pa.Table:
         words: Counter = Counter()
@@ -184,9 +182,7 @@ def word_freq_table(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return narrow_partials(partials).groupby("word").aggregate(
-        Sum("freq", alias_name="freq")
-    )
+    return exchange_aggregate(partials, ["word"], [("freq", "sum")], ["word", "freq"])
 
 
 def train_bpe_distributed(
@@ -218,9 +214,7 @@ def train_bpe_distributed(
     hash sample) when sample convergence is acceptable; this is the
     exact-path for vocabulary-sensitive runs.
     """
-    from ray.data.aggregate import Sum
-
-    from tilecloud_chain_ray.util import narrow_partials, strip_meta
+    from tilecloud_chain_ray.util import hash_group_blocks, strip_meta
 
     words = word_freq_table(ds, text_col=text_col).materialize()
 
@@ -265,9 +259,14 @@ def train_bpe_distributed(
             {"a": a, "b": b, "cnt": pa.array(list(c.values()), pa.int64())}
         )
 
-    def block_best(batch: pa.Table) -> pa.Table:
-        batch = strip_meta(batch)
-        if batch.num_rows == 0:
+    def best_pair_partition(t: pa.Table) -> pa.Table:
+        """Task-exchange kernel fusing the bounded-key (a, b) sum with
+        the per-partition argmin: pair groups never straddle hash
+        partitions, so the partition's best after summing is a valid
+        global candidate — the driver reduces <= partitions rows.  Ties
+        byte-equal to ``_merge_word_freqs`` (max count, then
+        lexicographically smallest pair)."""
+        if t.num_rows == 0 or "a" not in t.column_names:
             return pa.Table.from_pydict(
                 {
                     "a": pa.array([], pa.string()),
@@ -275,25 +274,23 @@ def train_bpe_distributed(
                     "cnt": pa.array([], pa.int64()),
                 }
             )
-        rows = batch.to_pylist()
-        best = min(rows, key=lambda r: (-r["cnt"], r["a"], r["b"]))
+        g = strip_meta(t).group_by(["a", "b"]).aggregate([("cnt", "sum")])
+        df = g.to_pandas()
+        best = df.sort_values(
+            ["cnt_sum", "a", "b"], ascending=[False, True, True]
+        ).iloc[0]
         return pa.Table.from_pydict(
             {
                 "a": pa.array([best["a"]], pa.string()),
                 "b": pa.array([best["b"]], pa.string()),
-                "cnt": pa.array([best["cnt"]], pa.int64()),
+                "cnt": pa.array([int(best["cnt_sum"])], pa.int64()),
             }
         )
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         partials = seqs.map_batches(pair_partials, batch_format="pyarrow")
-        summed = (
-            narrow_partials(partials)
-            .groupby(["a", "b"])
-            .aggregate(Sum("cnt", alias_name="cnt"))
-        )
-        cands = summed.map_batches(block_best, batch_format="pyarrow").take_all()
+        cands = hash_group_blocks(partials, ["a", "b"], best_pair_partition).take_all()
         cands = [r for r in cands if r.get("cnt") is not None]
         if not cands:
             break
