@@ -74,7 +74,7 @@ def grouped_approx_distinct(
 ) -> ray.data.Dataset:
     """Approximate COUNT(DISTINCT key) PER GROUP: one fixed-size sketch
     row per (block, group) crosses the wire, sketches merge by
-    register-wise max inside a per-group ``map_groups`` — the scale
+    register-wise max in a task-exchange kernel — the scale
     path for distinct-user-style rollups where the exact bundled
     shuffle (stages/distinct.py) would move every key.
     """
@@ -98,19 +98,33 @@ def grouped_approx_distinct(
             }
         )
 
-    def merge(group: "pd.DataFrame") -> "pd.DataFrame":
-        merged = np.zeros(1 << p, dtype=np.uint8)
-        for r in group["regs"]:
-            merged = np.maximum(merged, np.asarray(r, dtype=np.uint8))
-        return pd.DataFrame(
+    def merge_partition(t: pa.Table) -> pa.Table:
+        """Task-exchange kernel: every group co-located in this hash
+        partition merges in one register-matrix pass (flatten the
+        fixed-width regs lists to (rows, 2^p), sort by group code,
+        register-wise ``np.maximum.reduceat`` per group run)."""
+        if t.num_rows == 0:
+            return pa.table({})  # dropped driver-side by count
+        codes, uniques = pd.factorize(t[group_col].to_pandas(), sort=True)
+        regs = (
+            t["regs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).reshape(t.num_rows, 1 << p)
+        order = np.argsort(codes, kind="stable")
+        sc, sr = codes[order], regs[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        merged = np.maximum.reduceat(sr, starts, axis=0).astype(np.uint8)
+        ests = [int(round(_hll_estimate(m))) for m in merged]
+        return pa.table(
             {
-                group_col: [group[group_col].iloc[0]],
-                out_col: [int(round(_hll_estimate(merged)))],
+                group_col: pa.array(np.asarray(uniques)[sc[starts]]),
+                out_col: pa.array(ests, pa.int64()),
             }
         )
 
+    from tilecloud_chain_ray.util import hash_group_blocks
+
     sketches = ds.map_batches(sketch_batch, batch_format="pyarrow")
-    return sketches.groupby(group_col).map_groups(merge, batch_format="pandas")
+    return hash_group_blocks(sketches, [group_col], merge_partition)
 
 
 # -- t-digest: mergeable approximate quantiles ------------------------------
@@ -216,22 +230,31 @@ def grouped_approx_quantiles(
             }
         )
 
-    def merge(group: "pd.DataFrame") -> "pd.DataFrame":
-        means = np.concatenate([np.asarray(a, np.float64) for a in group["means"]])
-        weights = np.concatenate([np.asarray(a, np.float64) for a in group["weights"]])
-        m, w = _tdigest_compress(means, weights, delta)
-        est = _tdigest_quantile(m, w, np.asarray(qs))
-        row = {"g": [group["g"].iloc[0]]}
-        for q, e in zip(qs, est):
-            row[f"q_{q}"] = [float(e)]
-        return pd.DataFrame(row)
+    def merge_partition(t: pa.Table) -> pa.Table:
+        """Task-exchange kernel: each co-located group's digests merge
+        with one ``_tdigest_compress`` call (digest compression is
+        centroid-count-bounded, so a per-group Python pass over the
+        partition's few digest rows is the cheap part)."""
+        if t.num_rows == 0:
+            return pa.table({})  # dropped driver-side by count
+        df = t.to_pandas()
+        rows: dict[str, list] = {group_col: []}
+        for q in qs:
+            rows[f"q_{q}"] = []
+        for gv, sub in df.groupby("g", sort=True):
+            means = np.concatenate([np.asarray(a, np.float64) for a in sub["means"]])
+            weights = np.concatenate([np.asarray(a, np.float64) for a in sub["weights"]])
+            m, w = _tdigest_compress(means, weights, delta)
+            est = _tdigest_quantile(m, w, np.asarray(qs))
+            rows[group_col].append(gv)
+            for q, e in zip(qs, est):
+                rows[f"q_{q}"].append(float(e))
+        return pa.Table.from_pydict(rows)
+
+    from tilecloud_chain_ray.util import hash_group_blocks
 
     partials = ds.map_batches(sketch_batch, batch_format="pyarrow")
-    out = partials.groupby("g").map_groups(merge, batch_format="pandas")
-    return out.map_batches(
-        lambda b: b.rename_columns([group_col, *b.column_names[1:]]),
-        batch_format="pyarrow",
-    )
+    return hash_group_blocks(partials, ["g"], merge_partition)
 
 
 # -- Misra-Gries: mergeable heavy hitters ------------------------------------
