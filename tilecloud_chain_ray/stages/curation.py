@@ -23,7 +23,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Sum
 
 from tilecloud_chain_ray.functions.hashing import MICRO, UX_MULT
 
@@ -48,12 +47,13 @@ def vocab_topk(
     broken by ascending token.
 
     Scale shape: per-batch ``value_counts`` combiner (the only stage
-    that sees full text), a vocab-keyed ``groupby().sum`` (keys =
-    vocabulary size, values pre-combined per block — the unavoidable
-    exchange), then per-block top-k partials (each block emits <= k
-    rows, valid because counts are final after the sum) merged by one
-    single-group ``map_groups``.
+    that sees full text), then ONE vocab-keyed task exchange whose
+    kernel both sums each co-located token and emits the partition's
+    top-k (valid because a token's counts never straddle hash
+    partitions, so partition counts are final), then a width-1
+    exchange merges the <= k-per-partition candidates.
     """
+    from tilecloud_chain_ray.util import hash_group_blocks
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         toks = pc.list_flatten(_tokens(batch[text_col]))
@@ -65,24 +65,24 @@ def vocab_topk(
             }
         )
 
-    counts = (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    def sum_topk_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({})  # dropped driver-side by count
+        g = t.group_by("token").aggregate([("n", "sum")]).rename_columns(["token", "n"])
+        df = g.to_pandas().sort_values(["n", "token"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
-    def block_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values(["n", "token"], ascending=[False, True]).head(k)
-        out = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
-        return out.append_column("_g", pa.array(np.zeros(len(out), dtype=np.int64)))
+    def final_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        df = t.to_pandas().sort_values(["n", "token"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["n", "token"], ascending=[False, True]).head(k)
-        return g[["token", "n"]].reset_index(drop=True)
-
-    partials = counts.map_batches(block_topk, batch_format="pyarrow")
-    return partials.groupby("_g").map_groups(final_topk, batch_format="pandas")
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow")
+    cands = hash_group_blocks(partials, ["token"], sum_topk_partition)
+    return hash_group_blocks(cands, ["token"], final_topk, num_partitions=1)
 
 
 # ---------------------------------------------------------------------------
@@ -230,24 +230,35 @@ def grouped_quantiles(
         g = df.groupby([group_col, value_col], sort=False).size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    hist = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby([group_col, value_col])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    def quantiles_partition(t: pa.Table) -> pa.Table:
+        """Task-exchange kernel replacing BOTH former shuffles (the
+        (group, value) histogram sum and the per-group quantile pass):
+        keyed on group alone, every (group, value) partial of a group
+        co-locates, so one pandas pass finishes the histogram and reads
+        the quantiles off the cumulative counts."""
+        if t.num_rows == 0:
+            return pa.table({})  # dropped driver-side by count
+        df = t.to_pandas()
+        h = df.groupby([group_col, value_col], sort=False)["n"].sum().reset_index()
+        rows = []
+        for gv, sub in h.groupby(group_col, sort=True):
+            g = sub.sort_values(value_col)
+            vals = g[value_col].to_numpy()
+            cum = g["n"].to_numpy().cumsum()
+            n = int(cum[-1])
+            row = {group_col: gv}
+            for q, name in zip(qs, out_names):
+                idx = max(int(np.ceil(q * n)) - 1, 0)
+                row[name] = vals[np.searchsorted(cum, idx + 1)]
+            rows.append(row)
+        return pa.Table.from_pandas(
+            pd.DataFrame(rows), preserve_index=False
+        ).replace_schema_metadata(None)
 
-    def quantiles(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(value_col)
-        vals = g[value_col].to_numpy()
-        cum = g["n"].to_numpy().cumsum()
-        n = int(cum[-1])
-        row = {group_col: group[group_col].iloc[0]}
-        for q, name in zip(qs, out_names):
-            idx = max(int(np.ceil(q * n)) - 1, 0)
-            row[name] = vals[np.searchsorted(cum, idx + 1)]
-        return pd.DataFrame([row])
+    from tilecloud_chain_ray.util import hash_group_blocks
 
-    return hist.groupby(group_col).map_groups(quantiles, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_group_blocks(partials, [group_col], quantiles_partition)
 
 
 # ---------------------------------------------------------------------------

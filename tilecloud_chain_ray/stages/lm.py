@@ -24,7 +24,6 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Sum
 
 
 def _packed_trigrams(data: bytes) -> np.ndarray:
@@ -106,14 +105,14 @@ def train_char_lm(
             }
         )
 
-    agg = (
-        ref.map_batches(partial, batch_format="pyarrow")
-        .groupby("tri")
-        .aggregate(Sum("n", alias_name="n"))
-        .materialize()
+    from tilecloud_chain_ray.util import exchange_aggregate
+
+    agg = exchange_aggregate(
+        ref.map_batches(partial, batch_format="pyarrow"),
+        ["tri"],
+        [("n", "sum")],
+        ["tri", "n"],
     )
-    # the sort-groupby can emit (0 rows, 0 cols) blocks for empty sort
-    # ranges — drop them or concat_tables rejects the schema mismatch
     parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
     tbl = (
         pa.concat_tables(parts)
