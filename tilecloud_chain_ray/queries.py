@@ -964,7 +964,16 @@ def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
         lambda b: fingerprint_batch(b).select(["doc_id", "fingerprint"]),
         batch_format="pyarrow",
     )
-    return fps.groupby("fingerprint").aggregate(Count(alias_name="n_docs"))
+    from tilecloud_chain_ray.util import exchange_aggregate
+
+    # fingerprint keys are ~one per distinct doc content — the worst
+    # key space for a sort; count rides the task exchange
+    return exchange_aggregate(
+        fps.select_columns(["fingerprint"]),
+        ["fingerprint"],
+        [([], "count_all")],
+        ["fingerprint", "n_docs"],
+    )
 
 
 def q_approx_distinct(sf_dir: str) -> pa.Table:
@@ -1352,11 +1361,14 @@ def q_user_event_pivot(sf_dir: str) -> ray.data.Dataset:
         ct.columns = [f"n_{t}" for t in EVENT_TYPES]
         return pa.Table.from_pandas(ct.reset_index(), preserve_index=False).replace_schema_metadata(None)
 
-    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES]
-    return (
-        events.map_batches(partial_pivot, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(*aggs)
+    from tilecloud_chain_ray.util import exchange_aggregate
+
+    # user_id is the corpus-sized key — task exchange, not a sort
+    return exchange_aggregate(
+        events.map_batches(partial_pivot, batch_format="pyarrow"),
+        ["user_id"],
+        [(f"n_{t}", "sum") for t in EVENT_TYPES],
+        ["user_id"] + [f"n_{t}" for t in EVENT_TYPES],
     )
 
 
