@@ -165,6 +165,39 @@ def test_exchange_aggregate_property(ray_session, rows, width, blocks):
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
 
 
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(-100, 100)),
+        min_size=1,
+        max_size=80,
+    ),
+    n_buckets=st.sampled_from([1, 3, 8]),
+    blocks=st.integers(1, 4),
+)
+@settings(max_examples=20, deadline=None)
+def test_grouped_distinct_counts_property(ray_session, rows, n_buckets, blocks):
+    from tilecloud_chain_ray.stages.distinct import grouped_distinct_counts
+
+    g = np.array([r[0] for r in rows], dtype=np.int64)
+    k = np.array([r[1] for r in rows], dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"grp": pa.array(g), "key": pa.array(k)})
+    ).repartition(blocks)
+    out = (
+        grouped_distinct_counts(ds, "grp", "key", n_buckets=n_buckets)
+        .to_pandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame({"grp": g, "key": k})
+        .groupby("grp")
+        .agg(n_distinct=("key", "nunique"), n_rows=("key", "size"))
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
 def test_hash_group_blocks_width_exceeds_keys(ray_session):
     # 2 distinct keys through 16 partitions: 14+ merges see zero rows
     # and must not emit blocks (nor zero-schema bundles)
