@@ -110,10 +110,10 @@ def assemble_and_render_tiles(
     The shuffle key is a *bucket* of the tile key, not the tile itself:
     one group per tile would be ~10^5 tiny per-group Python calls that
     Ray packs into a handful of sorted blocks (observed: effective
-    parallelism ~1).  With ``n_buckets`` salted groups, each map_groups
-    call sums + renders its whole bucket of tiles in a loop, the
+    parallelism ~1).  With ``n_buckets`` salted partitions, each merge
+    task sums its whole bucket of tiles in one vectorized pass, the
     per-call overhead amortizes, and parallelism = min(n_buckets,
-    cluster) regardless of sorted-block packing.
+    cluster) by construction of the task exchange.
     """
     from tilecloud_chain_ray.functions.png import encode_png
     from tilecloud_chain_ray.stages.render import layer_color, render_density_image
@@ -297,9 +297,9 @@ def density_pyramid(
 
     # ONE pass over the raw rows: per-batch partial pixel counts for
     # every zoom at once (np.unique combiner — only (z, tile, pixel,
-    # n) partials cross the wire), then ONE groupby whose map_groups
-    # both sums duplicate pixels and renders the PNG — no intermediate
-    # cell-count shuffle, no second group pass.
+    # n) partials cross the wire), then ONE task exchange whose merge
+    # kernel sums duplicate pixels and the encode stage renders the
+    # PNGs — no intermediate cell-count shuffle, no second group pass.
     def pixel_partials(batch: pa.Table) -> pa.Table:
         cells = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         res, cx, cy = cell_decode(cells)

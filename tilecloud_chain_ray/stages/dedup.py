@@ -2,10 +2,10 @@
 embedding-cosine near-dup.
 
 All shapes follow the scalable patterns: content hash computed
-vectorized inside ``map_batches``; the only shuffles are
-``groupby(hash)`` / ``groupby(band-bucket)`` over *small derived
-columns* (never the payload); candidate verification is per-bucket
-local work in ``map_groups``.
+vectorized inside ``map_batches``; the only shuffles are hash /
+band-bucket task exchanges (util.hash_group_blocks) over *small
+derived columns* (never the payload); candidate verification is
+per-bucket local work inside the exchange kernels.
 """
 
 from __future__ import annotations
@@ -380,7 +380,7 @@ def minhash_dedup_pairs(
       vectorized driver pass does bucket detection + pair expansion,
       and only the candidate keys' shingle sets are pulled for
       verification.  Low latency; bounded by the gate in *bytes*.
-    * **distributed** — per-bucket ``map_groups`` pair expansion over
+    * **distributed** — per-bucket exchange-kernel pair expansion over
       hot (band, band_hash) buckets and a bucketed join of the pair
       table against the (key, sig) shingle table
       (`_verify_pairs_distributed`) — nothing proportional to the
