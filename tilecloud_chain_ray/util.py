@@ -61,31 +61,6 @@ def strip_meta(batch):
     return batch.replace_schema_metadata(None) if batch.schema.metadata else batch
 
 
-def narrow_partials(ds, blocks: int | None = None):
-    """Coalesce pre-aggregated partial blocks before a bounded-key
-    groupby.
-
-    A combiner (`map_batches` partial aggregate) emits one small block
-    per input block; the sort exchange behind ``groupby`` then pays a
-    fixed cost per (in-block, out-block) pair while the key-space is
-    only a few thousand values.  Coalescing the partials to
-    ~cpus/2 blocks keeps the merge parallel but removes the dead
-    exchange width — same lever as the bundled-distinct ledger
-    (``stages/distinct.py``: 2.45 s -> 1.85 s at sf0.1).  Only use on
-    PARTIAL tables whose row count is (blocks x keys)-scale, never on
-    row-scale data.
-    """
-    if blocks is None:
-        try:
-            import ray
-
-            cpus = int(ray.cluster_resources().get("CPU", 16))
-        except Exception:  # pragma: no cover - no cluster yet
-            cpus = 16
-        blocks = max(8, cpus // 2)
-    return ds.repartition(blocks, shuffle=False)
-
-
 def strip_schema_metadata(batch):
     """Drop Arrow schema-level metadata (zero-copy: new schema object,
     same buffers).
