@@ -273,6 +273,17 @@ def hash_group_blocks(ds, keys, kernel, num_partitions=None):
     Deterministic, retry-safe (stateless tasks), and the exchange
     width is explicit — ``num_partitions`` defaults to
     :func:`default_buckets` so it widens with the cluster.
+
+    Driver footprint at scale: the driver holds ``blocks ×
+    num_partitions`` ObjectRefs (the split outputs) — at ~100 bytes a
+    ref, a 100k-block input through a 1024-wide exchange is ~10 GB of
+    driver refs, which is the practical ceiling.  The repo's callers
+    stay far under it because every exchange input is a COMBINER
+    OUTPUT (one small partial block per input block, so ``blocks`` ~
+    read parallelism, not row count); for a raw-row exchange at that
+    scale, coalesce the input first (``repartition(shuffle=False)``)
+    or split the exchange into two hash levels (sqrt(width) each) —
+    the same ref-fan trade Ray's push-based shuffle makes internally.
     """
     import pyarrow as pa
     import ray
